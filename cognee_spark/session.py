@@ -1,0 +1,77 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Settings rationale (100 TB target, tested at local[32]):
+- AQE on: runtime coalescing of the many small shuffles in the linking stages
+  and skew-join splitting for the Zipf-skewed mega-repo partitions.
+- shuffle partitions sized to cores locally; on a real cluster this is set to
+  ~2-3x total executor cores via spark-submit conf, AQE coalesces down.
+- Arrow enabled and batch-sized to match the reference's extraction batch of
+  100 chunks/LLM call (cognee/api/v1/cognify/cognify.py:345-348) scaled up for
+  a deterministic extractor: 10_000 rows/Arrow batch keeps pandas-UDF overhead
+  amortized without blowing executor memory on long `content` strings.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``cognee_spark`` importable on executors from any driver cwd.
+
+    Equivalent of ``spark-submit --py-files cognee_spark.zip`` when the session
+    is built programmatically: zip the installed package and addPyFile it.
+    No-op if the archive was already shipped.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    marker = "cognee_spark_pkg"
+    if getattr(spark.sparkContext, "_cognee_pkg_shipped", False):
+        return
+    staging = tempfile.mkdtemp(prefix=marker)
+    archive = shutil.make_archive(
+        os.path.join(staging, marker), "zip", os.path.dirname(pkg_dir), "cognee_spark"
+    )
+    spark.sparkContext.addPyFile(archive)
+    spark.sparkContext._cognee_pkg_shipped = True
+
+
+def get_spark(
+    app_name: str = "cognee_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("COGNEE_SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # local[N] → N; a real cluster master string leaves the conf to submit-time.
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = cpus if inner == "*" else int(inner)
+        else:
+            shuffle_partitions = 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("COGNEE_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
