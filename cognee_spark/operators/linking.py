@@ -1,0 +1,234 @@
+"""Entity linking + canonicalization — L1-L9 of SURVEY.md §2.4.
+
+Code mode: the reference's resolution ladder (extract_code_graph.py:157-168,
+222-235,305-314) re-expressed as Spark joins:
+  1. exact qualified-name match within the repo
+  2. unique short-name suffix match within the repo (count()==1 filter)
+  3. ambiguous / unknown → dropped
+Import targets resolve to modules of the same repo, else become external
+dependencies.
+
+NL mode: the reference's exact-then-fuzzy ontology match
+(matching_strategies.py:23-53) generalized for scale:
+  1. exact merge on separator-free match_key (deterministic id equality —
+     SURVEY §1.1 "merge by construction")
+  2. MinHash-LSH banding over distinct match keys → candidate pairs
+     (bounded buckets; skew-capped)
+  3. difflib-ratio >= 0.8 scoring inside an Arrow-batched pandas UDF
+  4. connected components (large-star/small-star) → canonical clusters
+  5. canonical name = min normalized name in cluster (shared rule with the
+     oracle: cognee_spark/functions/similarity.py)
+
+Shuffle budget: the expensive objects (distinct match keys) are tiny relative
+to mentions (entity dictionaries are sublinear in corpus size), so the final
+alias map is BROADCAST onto the edge stream — the north rule's "broadcast of
+the entity dictionary". The resolution ladder shuffles on (repo, name),
+partition-pruned by the repo/lang partitioning of the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cognee_spark.functions.ids import normalize_identity_col
+from cognee_spark.operators.components import connected_components
+
+MAX_LSH_BUCKET = 1024  # skew guard: buckets larger than this are dropped from
+# pairing (a bucket that big means a degenerate band key, not real aliases)
+
+
+# --- code-mode resolution ------------------------------------------------------
+
+
+def resolve_code_edges(mentions: DataFrame, raw_edges: DataFrame) -> DataFrame:
+    """Raw code edges → resolved (repo, src, rel, dst) qualified-name edges.
+
+    All joins key on (repo, name) — co-partitioned by the input's repo
+    partitioning; AQE splits the mega-repo skew.
+    """
+    code_m = mentions.where(F.col("mode") == "code")
+    code_e = raw_edges.where(F.col("mode") == "code")
+
+    symbols = (
+        code_m.where(F.col("kind").isin("class", "function", "method"))
+        .select("repo", F.col("name").alias("qualified"))
+        .distinct()
+    )
+    shorts = symbols.select(
+        "repo", F.substring_index("qualified", ".", -1).alias("short"), "qualified"
+    )
+    unique_shorts = (
+        shorts.groupBy("repo", "short")
+        .agg(F.min("qualified").alias("qualified"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+        .drop("n")
+    )
+    modules = code_m.where(F.col("kind") == "module").select(
+        "repo", F.col("name").alias("module_name")
+    ).distinct()
+
+    calls = code_e.where(F.col("rel") == "calls")
+    exact_side = symbols.select(
+        F.col("repo").alias("x_repo"), F.col("qualified").alias("dst_exact")
+    )
+    suffix_side = unique_shorts.select(
+        F.col("repo").alias("s_repo"), F.col("short").alias("s_short"),
+        F.col("qualified").alias("dst_suffix"),
+    )
+    resolved_calls = (
+        calls.join(
+            exact_side,
+            on=[calls["repo"] == exact_side["x_repo"], calls["dst"] == exact_side["dst_exact"]],
+            how="left",
+        )
+        .join(
+            suffix_side,
+            on=[calls["repo"] == suffix_side["s_repo"], calls["dst"] == suffix_side["s_short"]],
+            how="left",
+        )
+        .withColumn("dst_resolved", F.coalesce("dst_exact", "dst_suffix"))
+        .where(F.col("dst_resolved").isNotNull())
+        .select(
+            "repo", "path", "lang", "content_sha", "src",
+            F.col("rel"), F.col("dst_resolved").alias("dst"),
+        )
+    )
+
+    imports = code_e.where(F.col("rel") == "imports_raw")
+    module_side = modules.select(
+        F.col("repo").alias("m_repo"), F.col("module_name")
+    )
+    resolved_imports = (
+        imports.join(
+            module_side,
+            on=[imports["repo"] == module_side["m_repo"], imports["dst"] == module_side["module_name"]],
+            how="left",
+        )
+        .select(
+            "repo", "path", "lang", "content_sha", "src",
+            F.when(F.col("module_name").isNotNull(), F.lit("imports"))
+            .otherwise(F.lit("depends_on_external"))
+            .alias("rel"),
+            "dst",
+        )
+    )
+
+    passthrough = code_e.where(
+        F.col("rel").isin("has_method", "depends_on_external", "exposes")
+    ).select("repo", "path", "lang", "content_sha", "src", "rel", "dst")
+
+    return resolved_calls.unionByName(resolved_imports).unionByName(passthrough)
+
+
+def code_triples(resolved: DataFrame) -> DataFrame:
+    """Resolved edges → normalized (subj, pred, obj) triples.
+
+    Node names are repo-qualified except external deps / routes, matching the
+    oracle (sources/golden.py resolve_code_triples)."""
+    qualify_obj = F.when(
+        F.col("rel").isin("depends_on_external", "exposes"),
+        normalize_identity_col(F.col("dst")),
+    ).otherwise(normalize_identity_col(F.concat_ws(":", "repo", "dst")))
+    return resolved.select(
+        normalize_identity_col(F.concat_ws(":", "repo", "src")).alias("subj"),
+        normalize_identity_col(F.col("rel")).alias("pred"),
+        qualify_obj.alias("obj"),
+        "repo", "path", "lang", "content_sha",
+    ).distinct()
+
+
+# --- NL-mode linking -------------------------------------------------------------
+
+
+_BANDS_SCHEMA = T.ArrayType(T.StringType())
+
+
+@F.pandas_udf(_BANDS_SCHEMA)
+def _lsh_bands_udf(keys: pd.Series) -> pd.Series:
+    from cognee_spark.functions.similarity import lsh_band_keys
+
+    return keys.map(lsh_band_keys)
+
+
+@F.pandas_udf(T.StringType())
+def _match_key_udf(names: pd.Series) -> pd.Series:
+    from cognee_spark.functions.similarity import match_key
+
+    return names.map(match_key)
+
+
+_PAIR_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _score_pairs(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from cognee_spark.functions.similarity import name_similarity
+
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["score"] = [name_similarity(a, b) for a, b in zip(pdf["a"], pdf["b"])]
+        yield pdf[["a", "b", "score"]]
+
+
+def alias_map(nl_names: DataFrame, name_col: str = "name") -> DataFrame:
+    """Distinct NL surface names → (name, canonical) mapping DataFrame.
+
+    The returned frame is dictionary-sized (distinct entities, not mentions) —
+    the caller broadcasts it onto the mention/edge stream.
+    """
+    names = nl_names.select(F.col(name_col).alias("name")).distinct()
+    keyed = names.withColumn("mkey", _match_key_udf("name")).localCheckpoint(eager=True)
+    keys = keyed.select("mkey").distinct()
+
+    banded = keys.select("mkey", F.explode(_lsh_bands_udf("mkey")).alias("band"))
+    # skew guard: drop degenerate bands before the self-join
+    sized = banded.join(
+        banded.groupBy("band").count().where(F.col("count") <= MAX_LSH_BUCKET),
+        "band",
+    )
+    left = sized.select("band", F.col("mkey").alias("a"))
+    right = sized.select("band", F.col("mkey").alias("b"))
+    candidates = (
+        left.join(right, "band")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    scored = candidates.mapInPandas(_score_pairs, _PAIR_SCORE_SCHEMA)
+    pairs = scored.where(F.col("score") >= F.lit(0.8)).select("a", "b")
+
+    comp = connected_components(pairs, "a", "b")
+    clustered = keyed.join(
+        comp.withColumnRenamed("node", "mkey"), "mkey", "left"
+    ).withColumn("component", F.coalesce("component", "mkey"))
+    canon = clustered.groupBy("component").agg(
+        F.min(normalize_identity_col(F.col("name"))).alias("canonical")
+    )
+    return clustered.join(canon, "component").select("name", "canonical")
+
+
+def nl_triples(raw_edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """NL raw edges + broadcast alias map → canonical (subj, pred, obj)."""
+    edges = raw_edges.where(F.col("mode") == "nl")
+    m = F.broadcast(mapping)
+    return (
+        edges.join(m.withColumnRenamed("name", "src").withColumnRenamed("canonical", "subj"), "src")
+        .join(m.withColumnRenamed("name", "dst").withColumnRenamed("canonical", "obj"), "dst")
+        .select(
+            "subj",
+            normalize_identity_col(F.col("rel")).alias("pred"),
+            "obj",
+            "repo", "path", "lang", "content_sha",
+        )
+        .distinct()
+    )

@@ -1,0 +1,140 @@
+"""Graph materialization — L5-L8, A1, A2 of SURVEY.md §2.4/§2.5.
+
+Builds the persisted graph tables from triples + mentions:
+- nodes: entities with deterministic ids (Entity.id_for semantics,
+  DataPoint.py:159-176) and kinds
+- entity_types + is_a edges (expand_with_nodes_and_edges.py:116-174)
+- edges: content triples + structural edges (contains / is_a), with
+  edge_object_id (generate_edge_object_id.py:5-17) and the reference's
+  default edge properties: feedback_weight 0.5, synthesized edge_text
+  (prepare_edges_for_storage.py:38-130)
+- edge-type histogram (index_graph_edges.py:39-52)
+- graph metrics: nodes, edges, mean degree 2E/N, density E/(N(N-1)),
+  connected-component count/sizes (neo4j_driver/adapter.py:2261-2301)
+
+Everything is select/groupBy over the triples table — whole-stage codegen,
+no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cognee_spark.functions.ids import edge_object_id_col, id_for_col
+from cognee_spark.operators.components import connected_components
+
+
+def build_nodes(triples: DataFrame, mentions_kinds: DataFrame | None = None) -> DataFrame:
+    """Distinct canonical entities from triple endpoints.
+
+    Kind is joined back from mentions when available (subjects/objects that
+    survived linking keep their extraction kind; unknown → 'entity')."""
+    names = (
+        triples.select(F.col("subj").alias("name"))
+        .union(triples.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    if mentions_kinds is not None:
+        names = names.join(F.broadcast(mentions_kinds), "name", "left")
+    else:
+        names = names.withColumn("kind", F.lit(None).cast("string"))
+    return names.select(
+        id_for_col("Entity", F.col("name")).alias("entity_id"),
+        "name",
+        F.coalesce("kind", F.lit("entity")).alias("kind"),
+    ).dropDuplicates(["entity_id"])
+
+
+def build_entity_types(nodes: DataFrame) -> DataFrame:
+    """One EntityType node per kind (EntityType.id_for semantics)."""
+    return nodes.select("kind").distinct().select(
+        id_for_col("EntityType", F.col("kind")).alias("type_id"),
+        F.col("kind").alias("name"),
+    )
+
+
+def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Content edges with stable edge_object_id + reference default props.
+
+    edge_text fallback mirrors prepare_edges_for_storage.py:38-104:
+    "<src label>, <relationship phrase>, <dst label>."
+    """
+    content = triples.select(
+        id_for_col("Entity", F.col("subj")).alias("source_node_id"),
+        id_for_col("Entity", F.col("obj")).alias("target_node_id"),
+        F.col("pred").alias("relationship_name"),
+        edge_object_id_col(F.col("subj"), F.col("pred"), F.col("obj")).alias("edge_object_id"),
+        F.lit(0.5).alias("feedback_weight"),
+        F.concat_ws(
+            ", ", F.col("subj"), F.regexp_replace("pred", "_", " "), F.col("obj")
+        ).alias("edge_text"),
+        F.lit("content").alias("edge_kind"),
+        "content_sha",
+    )
+    is_a = nodes.select(
+        F.col("entity_id").alias("source_node_id"),
+        id_for_col("EntityType", F.col("kind")).alias("target_node_id"),
+        F.lit("is_a").alias("relationship_name"),
+        edge_object_id_col(F.col("name"), F.lit("is_a"), F.col("kind")).alias("edge_object_id"),
+        F.lit(0.5).alias("feedback_weight"),
+        F.concat_ws(", ", F.col("name"), F.lit("is a"), F.col("kind")).alias("edge_text"),
+        F.lit("structural").alias("edge_kind"),
+        F.lit(None).cast("string").alias("content_sha"),
+    )
+    return content.unionByName(is_a).dropDuplicates(["edge_object_id"])
+
+
+def build_contains_edges(mentions: DataFrame) -> DataFrame:
+    """chunk/document → entity `contains` edges (DocumentChunk.contains,
+    expand_with_nodes_and_edges.py:285-303). Source is the chunk for NL
+    mentions and the document (path) for file-level code mentions."""
+    src = F.coalesce(F.col("chunk_id"), F.concat_ws(":", "repo", "path"))
+    return mentions.select(
+        src.alias("container_id"),
+        id_for_col("Entity", F.col("canonical_name")).alias("entity_id"),
+        F.col("canonical_name").alias("entity_name"),
+        F.lit("contains").alias("relationship_name"),
+        "content_sha",
+    ).distinct()
+
+
+def edge_type_histogram(triples: DataFrame) -> DataFrame:
+    """EdgeType counts (index_graph_edges.py:39-52)."""
+    return (
+        triples.groupBy(F.col("pred").alias("relationship_name"))
+        .agg(F.count(F.lit(1)).alias("number_of_edges"))
+        .orderBy(F.desc("number_of_edges"), "relationship_name")
+    )
+
+
+def graph_metrics(triples: DataFrame, include_components: bool = True) -> dict:
+    """Scalar graph metrics (adapter.py:2261-2301 formulas)."""
+    agg = triples.agg(
+        F.count(F.lit(1)).alias("num_edges"),
+        F.approx_count_distinct("subj").alias("_s"),
+    ).first()
+    nodes = (
+        triples.select(F.col("subj").alias("n"))
+        .union(triples.select(F.col("obj").alias("n")))
+        .distinct()
+        .count()
+    )
+    num_edges = int(agg.num_edges)
+    metrics = {
+        "num_nodes": nodes,
+        "num_edges": num_edges,
+        "mean_degree": (2.0 * num_edges / nodes) if nodes else 0.0,
+        "edge_density": (num_edges / (nodes * (nodes - 1))) if nodes > 1 else 0.0,
+    }
+    if include_components and num_edges:
+        comp = connected_components(
+            triples.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        )
+        sizes = comp.groupBy("component").count()
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("n_components"), F.max("count").alias("largest")
+        ).first()
+        metrics["num_connected_components"] = int(row.n_components)
+        metrics["largest_component_size"] = int(row.largest)
+    return metrics

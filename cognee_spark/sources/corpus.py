@@ -171,7 +171,8 @@ def file_spec(index: int, n_files: int) -> FileSpec:
     spec.defines_helper = within % 4 == 0
     if within % 3 == 0 and within > 0:
         spec.calls.append((spec.functions[-1], "helper"))
-    if within % 10 == 0:
+    # routes only exist in langs whose renderer emits them
+    if within % 10 == 0 and lang in ("python", "js"):
         spec.route = f"/api/{spec.repo.split('/')[1]}/v{within // 10}"
     return spec
 

@@ -148,6 +148,12 @@ def resolve_code_triples(specs: list[FileSpec]) -> set[Triple]:
             if rel["rel"] == "imports":
                 if target in by_repo_modules[repo]:
                     triples.add((node(repo, fact["name"]), pred, node(repo, target)))
+                else:
+                    # in-repo-looking import whose target file isn't a module
+                    # (e.g. that index rendered as markdown) → external dep
+                    triples.add(
+                        (node(repo, fact["name"]), "depends_on_external", normalize_identity_py(target))
+                    )
             elif rel["rel"] == "calls":
                 symbols = by_repo_symbols[repo]
                 if target in symbols:
