@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also runs the KG-construction pipeline end-to-end on a deterministic synthetic
+corpus sized to the scale factor and reports triples/sec (the BASELINE.json
+headline metric). Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _force(df) -> int:
+    """Fully execute a plan without driver-side collection overhead."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    from cognee_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="cognee_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    bench_queries = [
+        "flagship_mention_topk",
+        "ingest_identity",
+        "graph_degree_metrics",
+        "dedup_exact",
+        "dedup_minhash_signatures",
+        "simhash_signatures",
+        "ann_topk",
+        "text_token_counts",
+        "text_quality",
+        "text_language_id",
+        "top_customers",
+        "lineitem_pricing",
+        "top_event_per_user",
+    ]
+    registry = entry_mod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in bench_queries:
+        started = time.perf_counter()
+        _force(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - started, 3)
+        total += timings[name]
+
+    # KG pipeline end-to-end: corpus size scales with sf
+    from cognee_spark.pipeline import run_pipeline
+    from cognee_spark.sources.corpus import build_repos_df
+
+    n_files = max(210, int(sf * 50_000))
+    root = tempfile.mkdtemp(prefix="cognee_bench_kg")
+    try:
+        started = time.perf_counter()
+        result = run_pipeline(
+            spark,
+            build_repos_df(spark, n_files),
+            root,
+            f"bench:{n_files}",
+            compute_metrics=False,
+            force=True,
+        )
+        triples = result["tables"]["triples"].count()
+        kg_sec = round(time.perf_counter() - started, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    timings["kg_pipeline"] = kg_sec
+    total += kg_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_n_files": n_files,
+                "kg_triples": triples,
+                "kg_triples_per_sec": round(triples / kg_sec, 2) if kg_sec else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
