@@ -41,6 +41,37 @@ from cognee_spark.operators.components import connected_components
 MAX_LSH_BUCKET = 1024  # skew guard: buckets larger than this are dropped from
 # pairing (a bucket that big means a degenerate band key, not real aliases)
 
+# Alias-pair graphs are dictionary-sized (distinct entity keys, not mentions).
+# Below this many pairs the driver runs union-find locally — identical result,
+# ~8 fewer Spark jobs than the iterative star loop. Above it, the distributed
+# large-star/small-star loop takes over.
+SMALL_COMPONENT_PAIRS = 2_000_000
+
+
+def _components_hybrid(spark, pairs: DataFrame) -> DataFrame:
+    sample = pairs.limit(SMALL_COMPONENT_PAIRS + 1).collect()
+    if len(sample) > SMALL_COMPONENT_PAIRS:
+        return connected_components(pairs, "a", "b")
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sample:
+        ra, rb = find(row.a), find(row.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mapping = [(node, find(node)) for node in parent]
+    if not mapping:
+        return spark.createDataFrame([], "node string, component string")
+    return spark.createDataFrame(mapping, ["node", "component"])
+
 
 # --- code-mode resolution ------------------------------------------------------
 
@@ -207,7 +238,7 @@ def alias_map(nl_names: DataFrame, name_col: str = "name") -> DataFrame:
     scored = candidates.mapInPandas(_score_pairs, _PAIR_SCORE_SCHEMA)
     pairs = scored.where(F.col("score") >= F.lit(0.8)).select("a", "b")
 
-    comp = connected_components(pairs, "a", "b")
+    comp = _components_hybrid(nl_names.sparkSession, pairs)
     clustered = keyed.join(
         comp.withColumnRenamed("node", "mkey"), "mkey", "left"
     ).withColumn("component", F.coalesce("component", "mkey"))

@@ -1,0 +1,139 @@
+"""Retrieval operators — R1-R5 of SURVEY.md §2.6 (cognee's "SELECT" side).
+
+- vector top-k lives in similarity_search.py (R1/R6)
+- k_hop_subgraph: seed-bounded graph projection (R2,
+  brute_force_triplet_search.py:50-117, graph_db_interface.py:599) —
+  iterative semi-join expansion, depth-bounded, seeds broadcast
+- score_triplets + top_k_triplets: the reference's triplet scoring
+  score = Σ (2 - importance_weight) · distance over (src, dst, edge),
+  feedback-blended (CogneeGraph.py:470-540), as a join + window rank
+- resolve_edges_to_text: triples → "A --[rel]--> B (edge_text)" context
+  lines (resolve_edges_to_text.py:12-107)
+- bm25_score: lexical retrieval (bm25_retriever.py:9-57) — idf/tf computed
+  with groupBy, score per (query_term, doc) via broadcast join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def k_hop_subgraph(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+    seed_col: str = "name",
+) -> DataFrame:
+    """Edges reachable within k undirected hops of the seed set.
+
+    Frontier expansion by semi-join; the frontier is broadcast each round
+    (seed neighborhoods are tiny relative to the graph — the reference's
+    wide-search pre-filter, SURVEY O12)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    visited = seeds.select(F.col(seed_col).alias("node")).distinct()
+    frontier = visited
+    for _ in range(k):
+        neighbors = (
+            sym.join(F.broadcast(frontier), sym["a"] == frontier["node"])
+            .select(F.col("b").alias("node"))
+            .union(
+                sym.join(F.broadcast(frontier), sym["b"] == frontier["node"]).select(
+                    F.col("a").alias("node")
+                )
+            )
+            .distinct()
+        )
+        frontier = neighbors.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+        visited = visited.union(frontier).distinct().localCheckpoint(eager=True)
+    v = visited
+    return (
+        edges.join(F.broadcast(v.withColumnRenamed("node", src)), src)
+        .join(F.broadcast(v.withColumnRenamed("node", dst)), dst)
+    )
+
+
+def score_triplets(
+    triples: DataFrame,
+    node_distances: DataFrame,
+    importance_weight: float = 1.0,
+    feedback_weight: float = 0.5,
+    feedback_blend: float = 0.0,
+) -> DataFrame:
+    """Score = Σ over {subj, obj} of (2 - importance) · distance, blended with
+    feedback (CogneeGraph.py:470-540). node_distances: (name, distance)."""
+    d = F.broadcast(node_distances)
+    subj_d = d.select(F.col("name").alias("subj"), F.col("distance").alias("subj_distance"))
+    obj_d = d.select(F.col("name").alias("obj"), F.col("distance").alias("obj_distance"))
+    base = (2.0 - importance_weight) * (F.col("subj_distance") + F.col("obj_distance"))
+    blended = (1.0 - feedback_blend) * base + feedback_blend * (1.0 - feedback_weight)
+    return (
+        triples.join(subj_d, "subj")
+        .join(obj_d, "obj")
+        .withColumn("score", F.round(blended, 9))
+    )
+
+
+def top_k_triplets(scored: DataFrame, k: int = 10) -> DataFrame:
+    """Lowest-score-first top-k (the reference's heapq.nsmallest)."""
+    w = Window.orderBy(F.asc("score"), F.asc("subj"), F.asc("pred"), F.asc("obj"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def resolve_edges_to_text(triples: DataFrame) -> DataFrame:
+    """Context lines: 'subj --[pred]--> obj' (resolve_edges_to_text.py:78-96)."""
+    return triples.select(
+        F.concat(
+            F.col("subj"), F.lit(" --["), F.col("pred"), F.lit("]--> "), F.col("obj")
+        ).alias("context_line")
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k documents for a bag of query terms, all native ops.
+
+    tf/df/avgdl from groupBy aggregates; idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form (bm25_retriever.py semantics)."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    doc_len = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = doc_len.agg(F.avg("dl")).first()[0] or 1.0
+
+    q = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        tokens.where(F.array_contains(q, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_.withColumn(
+        "idf", F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(doc_len, "doc_id")
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 9).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

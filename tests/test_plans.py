@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in the executed plan, not assumed.
+
+- column pruning reaches the parquet scan (ReadSchema)
+- dimension joins broadcast (no SortMergeJoin for dictionary-sized sides)
+- hot-path column pipelines contain no Python eval nodes
+- deterministic ids stay in codegen (pinned in test_ids.py too)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_prunes_columns(spark):
+    plan = _plan(entry_mod.flagship_mention_topk(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert m.group(1) == "text:string", m.group(1)
+    assert "EvalPython" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(F.col("lang") == "zh")
+    plan = _plan(docs.select("doc_id"))
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(lang,zh\)", plan), plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(entry_mod.top_customers(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_has_no_python_nodes(spark):
+    plan = _plan(entry_mod.ann_topk(spark, SF_DIR))
+    assert "EvalPython" not in plan  # dot products run in codegen
+    assert "BroadcastNestedLoopJoin" in plan  # query side broadcast
+
+
+def test_textstats_all_codegen(spark):
+    for fn in (entry_mod.text_quality, entry_mod.text_token_counts, entry_mod.text_fingerprints):
+        assert "EvalPython" not in _plan(fn(spark, SF_DIR))
+
+
+def test_nl_alias_join_broadcasts(spark):
+    from cognee_spark.operators.linking import nl_triples
+
+    raw = spark.createDataFrame(
+        [("A", "uses", "B", "nl", "r", "p", "md", "c", "s")],
+        ["src", "rel", "dst", "mode", "repo", "path", "lang", "chunk_id", "content_sha"],
+    )
+    mapping = spark.createDataFrame([("A", "a"), ("B", "b")], ["name", "canonical"])
+    plan = _plan(nl_triples(raw, mapping))
+    assert plan.count("BroadcastHashJoin") >= 2  # both alias lookups broadcast
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,75 @@
+"""Retrieval operators: k-hop projection, triplet scoring, context text, BM25."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cognee_spark.operators.retrieval import (
+    bm25_score,
+    k_hop_subgraph,
+    resolve_edges_to_text,
+    score_triplets,
+    top_k_triplets,
+)
+
+TRIPLES = [
+    ("a", "knows", "b"),
+    ("b", "knows", "c"),
+    ("c", "knows", "d"),
+    ("d", "knows", "e"),
+    ("x", "knows", "y"),
+]
+
+
+def _triples_df(spark):
+    return spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+
+
+def test_k_hop(spark):
+    edges = _triples_df(spark)
+    seeds = spark.createDataFrame([("a",)], ["name"])
+    one = {(r.subj, r.obj) for r in k_hop_subgraph(edges, seeds, k=1).collect()}
+    assert one == {("a", "b")}
+    two = {(r.subj, r.obj) for r in k_hop_subgraph(edges, seeds, k=2).collect()}
+    assert two == {("a", "b"), ("b", "c")}
+    all_hops = {(r.subj, r.obj) for r in k_hop_subgraph(edges, seeds, k=4).collect()}
+    assert all_hops == {("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")}  # x-y unreachable
+
+
+def test_triplet_scoring_and_topk(spark):
+    triples = _triples_df(spark)
+    distances = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.2), ("c", 0.9), ("d", 0.4), ("e", 0.5), ("x", 0.0), ("y", 0.0)],
+        ["name", "distance"],
+    )
+    scored = score_triplets(triples, distances)
+    by_edge = {(r.subj, r.obj): r.score for r in scored.collect()}
+    assert math.isclose(by_edge[("a", "b")], (2 - 1.0) * (0.1 + 0.2), rel_tol=1e-9)
+    top = top_k_triplets(scored, k=2).collect()
+    assert [(r.subj, r.obj) for r in top] == [("x", "y"), ("a", "b")]  # lowest score first
+
+
+def test_resolve_edges_to_text(spark):
+    lines = {r.context_line for r in resolve_edges_to_text(_triples_df(spark)).collect()}
+    assert "a --[knows]--> b" in lines
+
+
+def test_bm25(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine engine engine"),
+            (3, "completely unrelated words here"),
+            (4, "spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = bm25_score(docs, ["spark"], k=3).collect()
+    ids = [r.doc_id for r in top]
+    assert set(ids) <= {1, 2, 4} and 3 not in ids
+    # short doc with the term ranks above long doc with one occurrence
+    scores = {r.doc_id: r.bm25 for r in top}
+    assert scores[4] > scores[2]
+    assert scores[1] > scores[2]
