@@ -371,22 +371,146 @@ SELECT user_id, event_id, event_type, value FROM (
 """
 
 
+# --- retrieval operators (R2/R4/R5) ---------------------------------------------------
+
+
+def khop_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop graph projection (R2) on the doc—word bipartite graph, seeded at
+    the word 'spark': all words co-occurring in documents containing it."""
+    from cognee_spark.operators.retrieval import k_hop_subgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .select(
+            F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.concat(F.lit("w:"), F.col("w")).alias("obj"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([("w:spark",)], ["name"])
+    sub = k_hop_subgraph(edges, seeds, k=2)
+    return sub.select(F.substring("obj", 3, 1 << 20).alias("word")).distinct()
+
+
+_KHOP_SQL = """
+WITH spark_docs AS (
+  SELECT DISTINCT doc_id FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE w = 'spark'
+)
+SELECT DISTINCT w AS word
+FROM documents JOIN spark_docs USING (doc_id),
+     unnest(string_split(lower(text), ' ')) AS t(w)
+WHERE w <> ''
+"""
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognee_spark.operators.retrieval import bm25_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_score(docs, ["spark", "query"], k=10)
+
+
+_BM25_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, w AS term
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+  WHERE w <> ''
+),
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT avg(dl) FROM doc_len) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens
+       WHERE term IN ('spark', 'query') GROUP BY doc_id, term),
+idf AS (SELECT term, ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term), stats),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(idf.idf * (tf.tf * (1.5 + 1))
+               / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * doc_len.dl / stats.avgdl))), 9) AS bm25
+  FROM tf JOIN idf USING (term) JOIN doc_len USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive summaries (E4 stand-in): first sentence else prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    first_sentence = F.regexp_extract("text", r"^(.*?[.;!?…。！？])", 1)
+    summary = F.when(first_sentence != "", first_sentence).otherwise(
+        F.substring("text", 1, 160)
+    )
+    return docs.select("doc_id", F.substring(summary, 1, 160).alias("summary"))
+
+
+_SUMMARIES_SQL = """
+SELECT doc_id,
+       substr(CASE WHEN regexp_extract(text, '^(.*?[.;!?…。！？])', 1) <> ''
+                   THEN regexp_extract(text, '^(.*?[.;!?…。！？])', 1)
+                   ELSE substr(text, 1, 160) END, 1, 160) AS summary
+FROM documents
+"""
+
+
+def doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cognee_spark.operators.enrich import synthesize_titles
+
+    return synthesize_titles(_t(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+_TITLES_SQL = r"""
+WITH words AS (
+  SELECT doc_id, lower(w) AS w
+  FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(w)
+  WHERE length(w) > 3
+),
+ranked AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id
+      ORDER BY count(*) DESC, w) AS rnk
+  FROM words GROUP BY doc_id, w
+),
+top3 AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY rnk) AS top_words
+  FROM ranked WHERE rnk <= 3 GROUP BY doc_id
+),
+first7 AS (
+  SELECT doc_id,
+         array_to_string((string_split_regex(trim(text), '\s+'))[1:7], ' ') AS first_words
+  FROM documents
+)
+SELECT f.doc_id AS document_id, concat_ws(' | ', first_words, top_words) AS title
+FROM first7 f LEFT JOIN top3 USING (doc_id)
+"""
+
+
 # --- KG pipeline (rows-only: kernels are Python; gated by tests/test_pipeline.py) -----
 
 _KG_FILES = 210
+_KG_CACHE: dict = {}
 
 
 def _kg_tables(spark: SparkSession) -> dict:
-    from cognee_spark.pipeline import run_pipeline
-    from cognee_spark.sources.corpus import build_repos_df
+    """Run the KG pipeline once per process; the three kg_* queries share it."""
+    if "tables" not in _KG_CACHE:
+        import tempfile
 
-    import tempfile
+        from cognee_spark.pipeline import run_pipeline
+        from cognee_spark.sources.corpus import build_repos_df
 
-    root = tempfile.mkdtemp(prefix="cognee_kg_entry")
-    repos = build_repos_df(spark, _KG_FILES)
-    return run_pipeline(
-        spark, repos, root, f"synthetic:{_KG_FILES}", compute_metrics=False
-    )["tables"]
+        root = tempfile.mkdtemp(prefix="cognee_kg_entry")
+        repos = build_repos_df(spark, _KG_FILES)
+        _KG_CACHE["tables"] = run_pipeline(
+            spark, repos, root, f"synthetic:{_KG_FILES}", compute_metrics=False
+        )["tables"]
+    return _KG_CACHE["tables"]
 
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": top_customers,
         "lineitem_pricing": lineitem_pricing,
         "top_event_per_user": top_event_per_user,
+        "khop_words": khop_words,
+        "bm25_topk": bm25_topk,
+        "doc_summaries": doc_summaries,
+        "doc_titles": doc_titles,
         "kg_triples": kg_triples,
         "kg_edge_type_histogram": kg_edge_type_histogram,
         "kg_nodes": kg_nodes,
@@ -459,6 +587,10 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": _TOP_CUSTOMERS_SQL,
         "lineitem_pricing": _PRICING_SQL,
         "top_event_per_user": _TOP_EVENT_SQL,
+        "khop_words": _KHOP_SQL,
+        "bm25_topk": _BM25_SQL,
+        "doc_summaries": _SUMMARIES_SQL,
+        "doc_titles": _TITLES_SQL,
         # kg_* and simhash_signatures: non-SQL-expressible (Python kernels);
         # correctness gate = tests/test_pipeline.py P/R vs pure-Python oracle
     }

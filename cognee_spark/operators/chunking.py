@@ -283,6 +283,9 @@ def chunk_documents(
     src = documents.select(
         F.col(id_col).alias("document_id"), F.col(text_col).alias("text"), *lineage
     )
+    cores = documents.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
 
     out_fields = [
         f

@@ -250,6 +250,7 @@ def extract_from_files(files: DataFrame) -> DataFrame:
     src = files.where(F.col("lang").isin(*CODE_LANGS)).select(
         "repo", "path", "lang", "content", "content_sha"
     )
+    src = _widen(src)
     names = [f.name for f in EXTRACTION_SCHEMA]
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -271,9 +272,22 @@ def extract_from_files(files: DataFrame) -> DataFrame:
     return src.mapInPandas(run, EXTRACTION_SCHEMA)
 
 
+def _widen(src: DataFrame) -> DataFrame:
+    """Ensure a Python-parse stage gets at least default-parallelism tasks.
+
+    A compacted upstream table can scan into a handful of splits; the CPU-heavy
+    Arrow-UDF stage downstream would then run that narrow regardless of
+    cluster size. One round-robin repartition (no key, no skew) unlocks full
+    parallelism; skipped when the scan is already wide enough."""
+    cores = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        return src.repartition(cores)
+    return src
+
+
 def extract_from_chunks(chunks: DataFrame) -> DataFrame:
     """NL-mode extraction over document chunks (text + lineage columns)."""
-    src = chunks.select("chunk_id", "text", "content_sha", "repo", "path", "lang")
+    src = _widen(chunks.select("chunk_id", "text", "content_sha", "repo", "path", "lang"))
     names = [f.name for f in EXTRACTION_SCHEMA]
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -67,6 +67,7 @@ def run_pipeline(
     max_chunk_size: int = 512,
     compute_metrics: bool = True,
     force: bool = False,
+    dedupe_documents: bool = False,
 ) -> dict:
     """Execute all stages over a repos(repo,path,commit,lang,content) frame.
 
@@ -79,25 +80,50 @@ def run_pipeline(
     # S1-S4 ingest/identify/classify: content identity via sha256 (the per-row
     # invariant of input_hint), deterministic document id, document type.
     def build_documents() -> DataFrame:
-        return _stamp(
-            repos.select(
-                "repo", "path", "commit", "lang", "content",
-                F.sha2("content", 256).alias("content_sha"),
-                F.concat_ws(":", "repo", "path").alias("document_id"),
-                F.when(F.col("lang").isin(*CODE_LANGS), F.lit("code"))
-                .otherwise(F.lit("text"))
-                .alias("document_type"),
-            ).dropDuplicates(["document_id"]),
-            "ingest",
+        base = repos.select(
+            "repo", "path", "commit", "lang", "content",
+            F.sha2("content", 256).alias("content_sha"),
+            F.concat_ws(":", "repo", "path").alias("document_id"),
+            F.when(F.col("lang").isin(*CODE_LANGS), F.lit("code"))
+            .otherwise(F.lit("text"))
+            .alias("document_type"),
         )
+        if dedupe_documents:
+            # dedup without shuffling content: find duplicate ids on a thin
+            # projection (tiny set), resolve only those rows by window rank
+            dup_ids = (
+                base.groupBy("document_id")
+                .count()
+                .where(F.col("count") > 1)
+                .select("document_id")
+            )
+            from pyspark.sql.window import Window
+
+            dups = (
+                base.join(F.broadcast(dup_ids), "document_id")
+                .withColumn(
+                    "_r",
+                    F.row_number().over(
+                        Window.partitionBy("document_id").orderBy("content_sha")
+                    ),
+                )
+                .where(F.col("_r") == 1)
+                .drop("_r")
+            )
+            base = base.join(F.broadcast(dup_ids), "document_id", "left_anti").unionByName(dups)
+        return _stamp(base, "ingest")
 
     documents = run_stage(
         store, spark, "documents", signature, build_documents, partition_by=["lang"]
     )
 
-    # C1-C6 chunking
+    # C1-C6 chunking. Only text-mode documents are chunked: code facts are
+    # extracted from whole files (enola semantics), so chunking them would
+    # burn 90% of the chunker budget producing rows nothing reads. The filter
+    # hits the documents table's lang partitioning → partition-pruned scan.
     def build_chunks() -> DataFrame:
-        return _stamp(chunk_documents(documents, max_chunk_size=max_chunk_size), "chunk")
+        text_docs = documents.where(~F.col("lang").isin(*CODE_LANGS))
+        return _stamp(chunk_documents(text_docs, max_chunk_size=max_chunk_size), "chunk")
 
     chunks = run_stage(store, spark, "chunks", signature, build_chunks, partition_by=["lang"])
 
@@ -169,22 +195,28 @@ def run_pipeline(
     def build_types_stage() -> DataFrame:
         return _stamp(build_entity_types(nodes), "entity_types")
 
-    entity_types = run_stage(store, spark, "entity_types", signature, build_types_stage)
+    entity_types = run_stage(
+        store, spark, "entity_types", signature, build_types_stage, count_rows=False
+    )
 
     def build_edges_stage() -> DataFrame:
         return _stamp(build_edges(triples, nodes), "edges")
 
-    edges = run_stage(store, spark, "edges", signature, build_edges_stage)
+    edges = run_stage(store, spark, "edges", signature, build_edges_stage, count_rows=False)
 
     def build_contains_stage() -> DataFrame:
         return _stamp(build_contains_edges(canonical_mentions), "contains")
 
-    contains = run_stage(store, spark, "contains_edges", signature, build_contains_stage)
+    contains = run_stage(
+        store, spark, "contains_edges", signature, build_contains_stage, count_rows=False
+    )
 
     def build_histogram_stage() -> DataFrame:
         return _stamp(edge_type_histogram(triples), "edge_types")
 
-    histogram = run_stage(store, spark, "edge_type_histogram", signature, build_histogram_stage)
+    histogram = run_stage(
+        store, spark, "edge_type_histogram", signature, build_histogram_stage, count_rows=False
+    )
 
     metrics: dict = {"wall_sec": round(time.time() - t0, 3), "stages": store.checkpoints()}
     if compute_metrics:

@@ -65,10 +65,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # content-heavy rows + Python parse stages: favor more, smaller scan
+        # splits so mapInPandas parallelism isn't capped by 128MB splits
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("COGNEE_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Shuffle/scratch on tmpfs when available: a single shared spinning/virtio
+    # disk serializes 32-way shuffles in local mode, which a real cluster
+    # (per-executor local SSDs) never sees. Opt-out via COGNEE_SPARK_LOCAL_DIR.
+    local_dir = os.environ.get("COGNEE_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/cognee_spark_scratch"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

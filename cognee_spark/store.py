@@ -94,12 +94,18 @@ def run_stage(
     build,
     partition_by: list[str] | None = None,
     force: bool = False,
+    count_rows: bool = True,
 ) -> DataFrame:
     """Execute one checkpointed stage: skip when committed, else build+commit.
 
     ``build`` is a thunk returning the stage's DataFrame; row count and wall
     time land in the checkpoint row (cognee's @task_summary analog,
-    run_tasks_base.py:21-30).
+    run_tasks_base.py:21-30). The returned frame always reads from the
+    committed table (downstream consumers scan parquet, never recompute).
+
+    ``count_rows=False`` is for LEAF tables nothing downstream consumes: the
+    write is the commit; the extra count/partition jobs are pure fixed
+    latency that caps scaling efficiency on small inputs.
     """
     if not force and store.is_complete(stage, signature) and store.exists(stage):
         return store.read(spark, stage)
@@ -107,12 +113,9 @@ def run_stage(
     df = build()
     store.write(df, stage, partition_by=partition_by)
     out = store.read(spark, stage)
-    rows = out.count()
-    store.checkpoint(
-        stage,
-        signature,
-        rows=rows,
-        wall_sec=round(time.time() - started, 3),
-        partitions=out.rdd.getNumPartitions(),
-    )
+    metrics: dict = {"wall_sec": round(time.time() - started, 3)}
+    if count_rows:
+        metrics["rows"] = out.count()
+        metrics["partitions"] = out.rdd.getNumPartitions()
+    store.checkpoint(stage, signature, **metrics)
     return out
