@@ -28,6 +28,7 @@ import bisect
 import hashlib
 import random
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -84,7 +85,10 @@ def nl_variant(idx: int, variant: int) -> str:
 # --- repo layout -------------------------------------------------------------
 
 
+@lru_cache(maxsize=8)
 def _repo_boundaries(n_files: int) -> list[int]:
+    # memoized: file_spec calls this per file; without the cache corpus
+    # generation is O(n_files * n_repos) — hours at millions of files
     n_repos = max(5, n_files // 150 + 5)
     weights = [1.0 / (r + 1) ** 1.1 for r in range(n_repos)]
     total = sum(weights)
