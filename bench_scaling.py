@@ -105,17 +105,24 @@ def main() -> None:
     parser.add_argument("--low", type=int, default=8)
     parser.add_argument("--high", type=int, default=32)
     parser.add_argument("--trials", type=int, default=2)
+    parser.add_argument("--input-dir", help="reuse an already-prepared repos table")
     args = parser.parse_args()
 
-    input_dir = tempfile.mkdtemp(
-        prefix="cognee_scaling_input", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
-    )
-    prepare_input(args.n_files, input_dir)
+    if args.input_dir:
+        input_dir = args.input_dir
+        cleanup = False
+    else:
+        input_dir = tempfile.mkdtemp(
+            prefix="cognee_scaling_input", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+        )
+        prepare_input(args.n_files, input_dir)
+        cleanup = True
     try:
         low = run_at(args.low, args.n_files, input_dir, trials=args.trials)
         high = run_at(args.high, args.n_files, input_dir, trials=args.trials)
     finally:
-        shutil.rmtree(input_dir, ignore_errors=True)
+        if cleanup:
+            shutil.rmtree(input_dir, ignore_errors=True)
     ratio = args.high / args.low
     eff = (high["triples_per_sec"] / low["triples_per_sec"]) / ratio
     report = {

@@ -251,25 +251,38 @@ def extract_from_files(files: DataFrame) -> DataFrame:
         "repo", "path", "lang", "content", "content_sha"
     )
     src = _widen(src)
-    names = [f.name for f in EXTRACTION_SCHEMA]
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
+            cols = _columnar()
             for rec in pdf.itertuples(index=False):
-                for row in extract_code(rec.repo, rec.path, rec.lang, rec.content):
-                    row.update(
-                        mode="code",
-                        repo=rec.repo,
-                        path=rec.path,
-                        lang=rec.lang,
-                        chunk_id=None,
-                        content_sha=rec.content_sha,
-                    )
-                    out.append(row)
-            yield pd.DataFrame(out, columns=names)
+                rows = extract_code(rec.repo, rec.path, rec.lang, rec.content)
+                _append_rows(cols, rows, "code", rec.repo, rec.path, rec.lang, None, rec.content_sha)
+            yield pd.DataFrame(cols)
 
     return src.mapInPandas(run, EXTRACTION_SCHEMA)
+
+
+def _columnar() -> dict[str, list]:
+    return {f.name: [] for f in EXTRACTION_SCHEMA}
+
+
+def _append_rows(cols, rows, mode, repo, path, lang, chunk_id, content_sha) -> None:
+    """Columnar batch assembly: one list-extend per column instead of one dict
+    per output row — the pandas-DataFrame construction is the fixed cost of
+    the extraction hot path."""
+    n = len(rows)
+    cols["row_kind"].extend(r["row_kind"] for r in rows)
+    cols["name"].extend(r["name"] for r in rows)
+    cols["kind"].extend(r["kind"] for r in rows)
+    cols["rel"].extend(r["rel"] for r in rows)
+    cols["dst"].extend(r["dst"] for r in rows)
+    cols["mode"].extend([mode] * n)
+    cols["repo"].extend([repo] * n)
+    cols["path"].extend([path] * n)
+    cols["lang"].extend([lang] * n)
+    cols["chunk_id"].extend([chunk_id] * n)
+    cols["content_sha"].extend([content_sha] * n)
 
 
 def _widen(src: DataFrame) -> DataFrame:
@@ -288,23 +301,16 @@ def _widen(src: DataFrame) -> DataFrame:
 def extract_from_chunks(chunks: DataFrame) -> DataFrame:
     """NL-mode extraction over document chunks (text + lineage columns)."""
     src = _widen(chunks.select("chunk_id", "text", "content_sha", "repo", "path", "lang"))
-    names = [f.name for f in EXTRACTION_SCHEMA]
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
+            cols = _columnar()
             for rec in pdf.itertuples(index=False):
-                for row in extract_nl(rec.text):
-                    row.update(
-                        mode="nl",
-                        repo=rec.repo,
-                        path=rec.path,
-                        lang=rec.lang,
-                        chunk_id=rec.chunk_id,
-                        content_sha=rec.content_sha,
-                    )
-                    out.append(row)
-            yield pd.DataFrame(out, columns=names)
+                rows = extract_nl(rec.text)
+                _append_rows(
+                    cols, rows, "nl", rec.repo, rec.path, rec.lang, rec.chunk_id, rec.content_sha
+                )
+            yield pd.DataFrame(cols)
 
     return src.mapInPandas(run, EXTRACTION_SCHEMA)
 

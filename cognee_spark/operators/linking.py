@@ -106,15 +106,15 @@ def resolve_code_edges(mentions: DataFrame, raw_edges: DataFrame) -> DataFrame:
     calls = code_e.where(F.col("rel") == "calls")
     # the symbol/module dictionaries GROW WITH THE CORPUS (unlike the NL alias
     # dictionary) — broadcasting them would serialize a driver-side hash-build
-    # of millions of rows; force shuffle-hash joins instead (AQE still handles
-    # skew on the repo key)
+    # of millions of rows, and shuffle-hash joins OOM because their build side
+    # cannot spill; sort-merge spills gracefully and AQE skew-splits it
     exact_side = symbols.select(
         F.col("repo").alias("x_repo"), F.col("qualified").alias("dst_exact")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     suffix_side = unique_shorts.select(
         F.col("repo").alias("s_repo"), F.col("short").alias("s_short"),
         F.col("qualified").alias("dst_suffix"),
-    ).hint("shuffle_hash")
+    ).hint("merge")
     resolved_calls = (
         calls.join(
             exact_side,
@@ -137,7 +137,7 @@ def resolve_code_edges(mentions: DataFrame, raw_edges: DataFrame) -> DataFrame:
     imports = code_e.where(F.col("rel") == "imports_raw")
     module_side = modules.select(
         F.col("repo").alias("m_repo"), F.col("module_name")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     resolved_imports = (
         imports.join(
             module_side,

@@ -36,7 +36,9 @@ def build_nodes(triples: DataFrame, mentions_kinds: DataFrame | None = None) -> 
         .distinct()
     )
     if mentions_kinds is not None:
-        names = names.join(F.broadcast(mentions_kinds), "name", "left")
+        # kinds table = one row per distinct canonical entity — grows with the
+        # corpus, so it must NOT broadcast (sort-merge spills; AQE skew-splits)
+        names = names.join(mentions_kinds.hint("merge"), "name", "left")
     else:
         names = names.withColumn("kind", F.lit(None).cast("string"))
     return names.select(

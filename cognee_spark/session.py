@@ -48,10 +48,13 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("COGNEE_SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        # local[N] → N; a real cluster master string leaves the conf to submit-time.
+        # Initial shuffle partitions deliberately EXCEED core count: AQE
+        # coalesces small ones for free, while too-few partitions make
+        # per-task hash/sort state exceed task memory on big inputs.
         if master.startswith("local["):
             inner = master[len("local[") : -1]
-            shuffle_partitions = cpus if inner == "*" else int(inner)
+            cores = cpus if inner == "*" else int(inner)
+            shuffle_partitions = max(64, 2 * cores)
         else:
             shuffle_partitions = 200
 

@@ -18,6 +18,17 @@ import __spark_entry__ as entry_mod
 SF_DIR = "/root/testdata/sf0.001"
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _uncached(spark):
+    # other test modules cache the same parquet relations; a cached scan hides
+    # ReadSchema/PushedFilters, so plan assertions need a clean catalog
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
