@@ -65,6 +65,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # string-heavy rows expand ~10-20x from shuffle bytes to in-memory
+        # size; the default 64MB advisory coalesces post-shuffle work too
+        # narrow for CPU-bound downstream (measured +40% on the triples stage)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
