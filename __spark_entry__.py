@@ -527,6 +527,13 @@ def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kg_tables(spark)["nodes"].select("entity_id", "name", "kind")
 
 
+def kg_context_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: triples → retrieval context lines (resolve_edges_to_text)."""
+    from cognee_spark.operators.retrieval import resolve_edges_to_text
+
+    return resolve_edges_to_text(_kg_tables(spark)["triples"])
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cognee_spark.operators.dedup import simhash64
 
@@ -566,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_edge_type_histogram": kg_edge_type_histogram,
         "kg_nodes": kg_nodes,
+        "kg_context_lines": kg_context_lines,
         "simhash_signatures": simhash_signatures,
     }
 
