@@ -297,6 +297,50 @@ FROM documents
 """
 
 
+def chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 structured-row chunking over documents (max_chunk_size=12 → 4
+    pairs/chunk at the fixed 3-token pair size). chunk_id (uuid5/sha1) is
+    dropped from the comparison — DuckDB has no sha1 — but is pinned by
+    tests/test_chunking.py."""
+    from cognee_spark.operators.chunking import chunk_rows_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_rows_documents(docs, max_chunk_size=12, id_col="doc_id", text_col="text").select(
+        "document_id", "chunk_index", "text", "chunk_size", "cut_type"
+    )
+
+
+_CHUNK_ROWS_SQL = """
+WITH split AS (
+  SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts FROM documents
+),
+rows_g AS (
+  SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS row_idx FROM split
+),
+rowp AS (
+  SELECT doc_id, row_idx, string_split(list_extract(parts, row_idx), ', ') AS pairs
+  FROM rows_g WHERE list_extract(parts, row_idx) <> ''
+),
+rowj AS (
+  SELECT doc_id, row_idx, pairs,
+         unnest(generate_series(0, (len(pairs)-1)//4)) AS j
+  FROM rowp
+),
+rowchunks AS (
+  SELECT doc_id, row_idx, j,
+         array_to_string(pairs[(j*4+1):least((j+1)*4, len(pairs))], ', ') AS text,
+         3 * (least((j+1)*4, len(pairs)) - j*4) AS chunk_size,
+         CASE WHEN (j+1)*4 >= len(pairs) THEN 'row_end' ELSE 'row_cut' END AS cut_type
+  FROM rowj
+)
+SELECT doc_id::VARCHAR AS document_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY row_idx, j) - 1)::INT AS chunk_index,
+       text, chunk_size::INT AS chunk_size, cut_type
+FROM rowchunks
+WHERE text <> ''
+"""
+
+
 # --- relational demo (scan/join/agg/window over the star schema) ----------------------
 
 
@@ -491,14 +535,23 @@ FROM first7 f LEFT JOIN top3 USING (doc_id)
 """
 
 
-# --- KG pipeline (rows-only: kernels are Python; gated by tests/test_pipeline.py) -----
+# --- KG pipeline -----------------------------------------------------------------
+#
+# The pipeline's kernels are Python (chunker/extractor/linker), so no ANSI-SQL
+# derivation from the raw corpus exists. The oracle is the INDEPENDENT
+# pure-Python golden implementation (cognee_spark/sources/golden.py — the same
+# reference-semantics oracle the pytest P/R gate uses), materialized as
+# parquet that the DuckDB side reads back. The comparison is therefore
+# distributed-Spark-pipeline vs single-process-reference, per row, hashed.
 
 _KG_FILES = 210
+_KG_SEARCH_QUERY = "zephyr service"
 _KG_CACHE: dict = {}
+_KG_GOLDEN_DIR = "/tmp/cognee_kg_golden"
 
 
 def _kg_tables(spark: SparkSession) -> dict:
-    """Run the KG pipeline once per process; the three kg_* queries share it."""
+    """Run the KG pipeline once per process; the kg_* queries share it."""
     if "tables" not in _KG_CACHE:
         import tempfile
 
@@ -511,6 +564,47 @@ def _kg_tables(spark: SparkSession) -> dict:
             spark, repos, root, f"synthetic:{_KG_FILES}", compute_metrics=False
         )["tables"]
     return _KG_CACHE["tables"]
+
+
+def _ensure_golden_parquet() -> str:
+    """Materialize the pure-Python golden tables as parquet (idempotent)."""
+    import os
+
+    import pandas as pd
+
+    marker = os.path.join(_KG_GOLDEN_DIR, f"_DONE_{_KG_FILES}")
+    if os.path.exists(marker):
+        return _KG_GOLDEN_DIR
+    from cognee_spark.sources.golden import (
+        golden_context_lines,
+        golden_edge_type_histogram,
+        golden_entity_search,
+        golden_nodes,
+        golden_triples,
+    )
+
+    os.makedirs(_KG_GOLDEN_DIR, exist_ok=True)
+    triples = sorted(golden_triples(_KG_FILES))
+    pd.DataFrame(triples, columns=["subj", "pred", "obj"]).to_parquet(
+        os.path.join(_KG_GOLDEN_DIR, "triples.parquet")
+    )
+    pd.DataFrame(
+        golden_edge_type_histogram(_KG_FILES),
+        columns=["relationship_name", "number_of_edges"],
+    ).to_parquet(os.path.join(_KG_GOLDEN_DIR, "edge_type_histogram.parquet"))
+    pd.DataFrame(
+        golden_nodes(_KG_FILES), columns=["entity_id", "name", "kind"]
+    ).to_parquet(os.path.join(_KG_GOLDEN_DIR, "nodes.parquet"))
+    pd.DataFrame(
+        {"context_line": golden_context_lines(_KG_FILES)}
+    ).to_parquet(os.path.join(_KG_GOLDEN_DIR, "context_lines.parquet"))
+    pd.DataFrame(
+        golden_entity_search(_KG_FILES, _KG_SEARCH_QUERY, k=5),
+        columns=["rank", "item_id", "name"],
+    ).to_parquet(os.path.join(_KG_GOLDEN_DIR, "entity_search.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return _KG_GOLDEN_DIR
 
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,11 +628,121 @@ def kg_context_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_edges_to_text(_kg_tables(spark)["triples"])
 
 
+def kg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 over the engine's OWN graph: embed a query with the same hash
+    encoder the index stage used, brute-force cosine top-5 over the pipeline's
+    Entity_name embedding collection (partition-pruned scan)."""
+    from cognee_spark.functions.embeddings import hash_embedding_py
+    from cognee_spark.operators.similarity_search import brute_force_topk
+
+    emb = _kg_tables(spark)["embeddings"].where(F.col("collection") == "Entity_name")
+    qv = hash_embedding_py(_KG_SEARCH_QUERY)
+    queries = spark.createDataFrame([("q0", qv)], ["query_id", "query_vec"])
+    top = brute_force_topk(
+        emb, queries, k=5, id_col="item_id", vec_col="embedding"
+    )
+    names = emb.select(F.col("item_id").alias("vec_id"), F.col("text").alias("name"))
+    return top.join(names, "vec_id").select(
+        "rank", F.col("vec_id").alias("item_id"), "name"
+    )
+
+
+_KG_TRIPLES_SQL = f"""
+SELECT subj, pred, obj FROM read_parquet('{_KG_GOLDEN_DIR}/triples.parquet')
+"""
+
+_KG_HISTOGRAM_SQL = f"""
+SELECT relationship_name, number_of_edges
+FROM read_parquet('{_KG_GOLDEN_DIR}/edge_type_histogram.parquet')
+"""
+
+_KG_NODES_SQL = f"""
+SELECT entity_id, name, kind FROM read_parquet('{_KG_GOLDEN_DIR}/nodes.parquet')
+"""
+
+_KG_CONTEXT_SQL = f"""
+SELECT context_line FROM read_parquet('{_KG_GOLDEN_DIR}/context_lines.parquet')
+"""
+
+_KG_SEARCH_SQL = f"""
+SELECT rank, item_id, name FROM read_parquet('{_KG_GOLDEN_DIR}/entity_search.parquet')
+"""
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cognee_spark.operators.dedup import simhash64
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+# md5-based token hash so DuckDB replays the signature bit-for-bit (the
+# Python kernel is numpy-vectorized; the SQL is the independent recomputation)
+_SIMHASH_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, w FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(w)
+  WHERE w <> ''
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM tokens
+),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS wgt
+  FROM hashed, generate_series(0, 63) AS g(b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id, sum(CASE WHEN wgt > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN u >= 1::HUGEINT << 63 THEN u - (1::HUGEINT << 64)
+                 ELSE coalesce(u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+"""
+
+
+def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-blocked near-dup pairs (no crossJoin anywhere in the
+    plan); the DuckDB oracle regenerates the identical md5-derived planes and
+    replays blocking + verification, so the check covers the full algorithm."""
+    from cognee_spark.operators.dedup import embedding_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_duplicates(emb, threshold=0.45, dim=64)
+
+
+_EMBED_DEDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planes AS (
+  SELECT p, list((('0x'||substr(md5('hp'||p||'|'||j),1,8))::UBIGINT / 4294967295.0) * 2 - 1
+                 ORDER BY j) AS plane
+  FROM generate_series(0,47) g1(p), generate_series(0,63) g2(j)
+  GROUP BY p
+),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_dot_product(e.v, pl.plane) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM e, planes pl
+),
+banded AS (
+  SELECT vec_id, (p // 4)::VARCHAR || ':' || string_agg(bit, '' ORDER BY p) AS band
+  FROM bits GROUP BY vec_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.vec_id < y.vec_id
+)
+SELECT a, b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9)
+           AS cosine
+FROM cand JOIN e ea ON cand.a = ea.vec_id JOIN e eb ON cand.b = eb.vec_id
+WHERE round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9) >= 0.45
+"""
 
 
 # --- contract ---------------------------------------------------------------------------
@@ -574,11 +778,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_type_histogram": kg_edge_type_histogram,
         "kg_nodes": kg_nodes,
         "kg_context_lines": kg_context_lines,
+        "kg_search": kg_search,
         "simhash_signatures": simhash_signatures,
+        "embedding_dedup_pairs": embedding_dedup_pairs,
+        "chunk_rows": chunk_rows,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # the kg_* oracles read the pure-Python golden implementation's output;
+    # materialize it (idempotent, pure Python, no Spark) before handing the
+    # SQL to the driver
+    _ensure_golden_parquet()
     return {
         "flagship_mention_topk": _FLAGSHIP_SQL,
         "ingest_identity": _INGEST_SQL,
@@ -599,6 +810,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "doc_summaries": _SUMMARIES_SQL,
         "doc_titles": _TITLES_SQL,
-        # kg_* and simhash_signatures: non-SQL-expressible (Python kernels);
-        # correctness gate = tests/test_pipeline.py P/R vs pure-Python oracle
+        "simhash_signatures": _SIMHASH_SQL,
+        "embedding_dedup_pairs": _EMBED_DEDUP_SQL,
+        "kg_triples": _KG_TRIPLES_SQL,
+        "kg_edge_type_histogram": _KG_HISTOGRAM_SQL,
+        "kg_nodes": _KG_NODES_SQL,
+        "kg_context_lines": _KG_CONTEXT_SQL,
+        "kg_search": _KG_SEARCH_SQL,
+        "chunk_rows": _CHUNK_ROWS_SQL,
     }

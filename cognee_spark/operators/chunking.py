@@ -249,6 +249,60 @@ def chunk_document(
         yield emit(group, group_size, chunk_index)
 
 
+PAIR_TOKEN_SIZE = 3  # the reference's no-tokenizer fallback (chunk_by_row.py:29)
+
+
+def chunk_rows(
+    document_id: str, text: str, max_chunk_size: int
+) -> Iterator[dict]:
+    """C4 structured-row chunking (parity: chunk_by_row.py:32-101).
+
+    Rows are blank-line-separated records; each row splits into ", "
+    key:value pairs of fixed PAIR_TOKEN_SIZE tokens. Pairs pack greedily up
+    to max_chunk_size but never across rows: mid-row flushes are cut_type
+    'row_cut', the row's final chunk is 'row_end'. chunk_id =
+    uuid5(NAMESPACE_OID, text), chunk_index is document-global.
+
+    Deliberate divergence: an empty row yields nothing AND resets the buffer
+    (the reference leaves the empty pair in its accumulator, prefixing the
+    next row's first chunk with ", " — an artifact of its reset placement,
+    not a semantic).
+    """
+    chunk_index = 0
+    for row in text.split("\n\n"):
+        if row == "":
+            continue
+        pairs = row.split(", ")
+        buf: list[str] = []
+        buf_size = 0
+        for pair in pairs:
+            if buf_size > 0 and buf_size + PAIR_TOKEN_SIZE > max_chunk_size:
+                body = ", ".join(buf)
+                yield {
+                    "chunk_id": _uuid5_text(body),
+                    "text": body,
+                    "chunk_size": buf_size,
+                    "chunk_index": chunk_index,
+                    "cut_type": "row_cut",
+                    "document_id": document_id,
+                }
+                chunk_index += 1
+                buf, buf_size = [], 0
+            buf.append(pair)
+            buf_size += PAIR_TOKEN_SIZE
+        body = ", ".join(buf)
+        if body:
+            yield {
+                "chunk_id": _uuid5_text(body),
+                "text": body,
+                "chunk_size": buf_size,
+                "chunk_index": chunk_index,
+                "cut_type": "row_end",
+                "document_id": document_id,
+            }
+            chunk_index += 1
+
+
 # --- Spark stage -------------------------------------------------------------
 
 CHUNK_SCHEMA = T.StructType(
@@ -306,3 +360,40 @@ def chunk_documents(
             yield pd.DataFrame(rows, columns=out_names)
 
     return src.mapInPandas(run, T.StructType(out_fields))
+
+
+ROW_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.StringType(), False),
+        T.StructField("document_id", T.StringType(), False),
+        T.StructField("chunk_index", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("chunk_size", T.IntegerType(), False),
+        T.StructField("cut_type", T.StringType(), True),
+    ]
+)
+
+
+def chunk_rows_documents(
+    documents: DataFrame,
+    max_chunk_size: int = 12,
+    id_col: str = "document_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """C4 over a DataFrame: one narrow mapInPandas stage, same shape as
+    chunk_documents. Structured (CSV/dlt-shaped) corpora chunk per record."""
+    src = documents.select(
+        F.col(id_col).cast("string").alias("document_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for rec in pdf.itertuples(index=False):
+                rows.extend(chunk_rows(rec.document_id, rec.text, max_chunk_size))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ROW_CHUNK_SCHEMA]
+            )
+
+    return src.mapInPandas(run, ROW_CHUNK_SCHEMA)

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cognee_spark.functions.ids import normalize_identity_col
+from cognee_spark.functions.similarity import SIMILARITY_CUTOFF
 from cognee_spark.operators.components import connected_components
 
 MAX_LSH_BUCKET = 1024  # skew guard: buckets larger than this are dropped from
@@ -44,14 +45,19 @@ MAX_LSH_BUCKET = 1024  # skew guard: buckets larger than this are dropped from
 # Alias-pair graphs are dictionary-sized (distinct entity keys, not mentions).
 # Below this many pairs the driver runs union-find locally — identical result,
 # ~8 fewer Spark jobs than the iterative star loop. Above it, the distributed
-# large-star/small-star loop takes over.
-SMALL_COMPONENT_PAIRS = 2_000_000
+# large-star/small-star loop takes over. The threshold is sized so the
+# collected pairs are at most a few tens of MB of driver heap.
+SMALL_COMPONENT_PAIRS = 100_000
 
 
 def _components_hybrid(spark, pairs: DataFrame) -> DataFrame:
-    sample = pairs.limit(SMALL_COMPONENT_PAIRS + 1).collect()
-    if len(sample) > SMALL_COMPONENT_PAIRS:
+    # size probe WITHOUT materializing rows on the driver: limit+count moves
+    # at most the threshold's row count to one task, never to Python memory
+    pairs = pairs.localCheckpoint(eager=True)
+    probe = pairs.limit(SMALL_COMPONENT_PAIRS + 1).count()
+    if probe > SMALL_COMPONENT_PAIRS:
         return connected_components(pairs, "a", "b")
+    sample = pairs.collect()
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -215,14 +221,100 @@ def _score_pairs(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pdf[["a", "b", "score"]]
 
 
-def alias_map(nl_names: DataFrame, name_col: str = "name") -> DataFrame:
+_PAIR_PASSTHROUGH_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("onto_canonical", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _score_pairs_passthrough(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Like _score_pairs but keeps (name, onto_canonical) passenger columns."""
+    from cognee_spark.functions.similarity import name_similarity
+
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["score"] = [name_similarity(a, b) for a, b in zip(pdf["a"], pdf["b"])]
+        yield pdf[["name", "onto_canonical", "score"]]
+
+
+def alias_map(
+    nl_names: DataFrame, name_col: str = "name", ontology: DataFrame | None = None
+) -> DataFrame:
     """Distinct NL surface names → (name, canonical) mapping DataFrame.
 
     The returned frame is dictionary-sized (distinct entities, not mentions) —
     the caller broadcasts it onto the mention/edge stream.
+
+    With an ``ontology`` frame (name, canonical[, parent]) the reference's
+    exact-then-fuzzy ontology resolution runs FIRST
+    (RDFLibOntologyResolver.find_closest_match, matching_strategies.py:23-53):
+    surface names matching an ontology label — exactly on match_key, or
+    fuzzily at difflib ratio >= 0.8 over LSH candidates — are rewritten to the
+    ontology individual's canonical name (expand_with_nodes_and_edges.py
+    name_mapping semantics). Only the remainder goes through corpus
+    self-clustering. The ontology is dictionary-sized by definition →
+    broadcast joins throughout.
     """
     names = nl_names.select(F.col(name_col).alias("name")).distinct()
     keyed = names.withColumn("mkey", _match_key_udf("name")).localCheckpoint(eager=True)
+    if ontology is not None:
+        onto = (
+            ontology.select(
+                F.col("name").alias("onto_name"),
+                normalize_identity_col(F.col("canonical")).alias("onto_canonical"),
+            )
+            .distinct()
+            .withColumn("okey", _match_key_udf("onto_name"))
+        )
+        # exact: same aggressive match key as corpus merging
+        exact_hit = (
+            keyed.join(
+                F.broadcast(onto.select("okey", "onto_canonical")).withColumnRenamed("okey", "mkey"),
+                "mkey",
+            )
+            .groupBy("name")
+            .agg(F.min("onto_canonical").alias("canonical"))
+        )
+        # fuzzy: LSH-banded candidates vs ontology keys, difflib >= 0.8,
+        # best score wins (ties: lexicographically smallest canonical)
+        unmatched = keyed.join(exact_hit.select("name"), "name", "left_anti")
+        cand = (
+            unmatched.select("name", "mkey", F.explode(_lsh_bands_udf("mkey")).alias("band"))
+            .join(
+                F.broadcast(
+                    onto.select(
+                        "onto_canonical", F.explode(_lsh_bands_udf("okey")).alias("band"),
+                        F.col("okey"),
+                    )
+                ),
+                "band",
+            )
+            .select(
+                F.col("mkey").alias("a"), F.col("okey").alias("b"),
+                "name", "onto_canonical",
+            )
+            .distinct()
+        )
+        fuzzy_scored = cand.mapInPandas(_score_pairs_passthrough, _PAIR_PASSTHROUGH_SCHEMA)
+        fuzzy_hit = (
+            fuzzy_scored.where(F.col("score") >= F.lit(SIMILARITY_CUTOFF))
+            .groupBy("name")
+            # best score wins; ties break to the smallest canonical name —
+            # min over (-score, canonical) is deterministic in one aggregate
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("onto_canonical"))).alias("best"))
+            .select("name", F.col("best.onto_canonical").alias("canonical"))
+        )
+        onto_mapping = exact_hit.unionByName(fuzzy_hit)
+        rest = keyed.join(onto_mapping.select("name"), "name", "left_anti")
+        return onto_mapping.unionByName(_self_cluster(rest))
+    return _self_cluster(keyed)
+
+
+def _self_cluster(keyed: DataFrame) -> DataFrame:
+    """Corpus self-clustering of (name, mkey) rows → (name, canonical)."""
     keys = keyed.select("mkey").distinct()
 
     banded = keys.select("mkey", F.explode(_lsh_bands_udf("mkey")).alias("band"))
@@ -242,7 +334,7 @@ def alias_map(nl_names: DataFrame, name_col: str = "name") -> DataFrame:
     scored = candidates.mapInPandas(_score_pairs, _PAIR_SCORE_SCHEMA)
     pairs = scored.where(F.col("score") >= F.lit(0.8)).select("a", "b")
 
-    comp = _components_hybrid(nl_names.sparkSession, pairs)
+    comp = _components_hybrid(keyed.sparkSession, pairs)
     clustered = keyed.join(
         comp.withColumnRenamed("node", "mkey"), "mkey", "left"
     ).withColumn("component", F.coalesce("component", "mkey"))
@@ -250,6 +342,54 @@ def alias_map(nl_names: DataFrame, name_col: str = "name") -> DataFrame:
         F.min(normalize_identity_col(F.col("name"))).alias("canonical")
     )
     return clustered.join(canon, "component").select("name", "canonical")
+
+
+def ontology_is_a_triples(
+    nl_triples_df: DataFrame, ontology: DataFrame, max_depth: int = 5
+) -> DataFrame:
+    """is_a ancestor triples for ontology individuals present in the graph.
+
+    The reference imports the matched individual's subclass chain into the
+    graph (RDFLibOntologyResolver.get_subgraph, RDFLibOntologyResolver.py:
+    267-337: matched node + its is_a ancestors become nodes/edges). Spark
+    form: restrict the (canonical, parent) ontology edge table to canonicals
+    that actually appear in the NL triples (semi-join), then walk the parent
+    chain ``max_depth`` levels by iterated broadcast self-join — the ontology
+    is dictionary-sized, so every join is a broadcast and the loop is
+    driver-cheap.
+
+    Output schema matches the triples table (repo/path/lang/content_sha are
+    null — structural knowledge has no source row).
+    """
+    parents = F.broadcast(
+        ontology.where(F.col("parent").isNotNull()).select(
+            normalize_identity_col(F.col("canonical")).alias("child"),
+            normalize_identity_col(F.col("parent")).alias("parent"),
+        ).distinct()
+    )
+    present = (
+        nl_triples_df.select(F.col("subj").alias("child"))
+        .unionByName(nl_triples_df.select(F.col("obj").alias("child")))
+        .distinct()
+    )
+    out = None
+    frontier = present
+    for _ in range(max_depth):
+        hop = frontier.join(parents, "child").select("child", "parent")
+        out = hop if out is None else out.unionByName(hop)
+        frontier = hop.select(F.col("parent").alias("child")).distinct()
+    return (
+        out.distinct()
+        .select(
+            F.col("child").alias("subj"),
+            F.lit("is_a").alias("pred"),
+            F.col("parent").alias("obj"),
+            F.lit(None).cast("string").alias("repo"),
+            F.lit(None).cast("string").alias("path"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("content_sha"),
+        )
+    )
 
 
 def nl_triples(raw_edges: DataFrame, mapping: DataFrame) -> DataFrame:

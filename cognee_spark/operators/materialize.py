@@ -59,30 +59,53 @@ def build_entity_types(nodes: DataFrame) -> DataFrame:
 def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
     """Content edges with stable edge_object_id + reference default props.
 
-    edge_text fallback mirrors prepare_edges_for_storage.py:38-104:
-    "<src label>, <relationship phrase>, <dst label>."
+    Parity (prepare_edges_for_storage.py:84-130 + generate_edge_object_id.py:
+    5-17): edge_object_id = uuid5 over the NODE UUIDS
+    (source_node_id + relationship_name + target_node_id, normalized), and
+    the fallback edge_text is "<src label> <relationship phrase> <dst
+    label>." — so a store produced here is id-compatible with one produced
+    by the reference over the same nodes.
     """
-    content = triples.select(
-        id_for_col("Entity", F.col("subj")).alias("source_node_id"),
-        id_for_col("Entity", F.col("obj")).alias("target_node_id"),
-        F.col("pred").alias("relationship_name"),
-        edge_object_id_col(F.col("subj"), F.col("pred"), F.col("obj")).alias("edge_object_id"),
-        F.lit(0.5).alias("feedback_weight"),
-        F.concat_ws(
-            ", ", F.col("subj"), F.regexp_replace("pred", "_", " "), F.col("obj")
-        ).alias("edge_text"),
-        F.lit("content").alias("edge_kind"),
-        "content_sha",
+    content = (
+        triples.select(
+            id_for_col("Entity", F.col("subj")).alias("source_node_id"),
+            id_for_col("Entity", F.col("obj")).alias("target_node_id"),
+            F.col("pred").alias("relationship_name"),
+            F.lit(0.5).alias("feedback_weight"),
+            F.concat(
+                F.col("subj"), F.lit(" "), F.regexp_replace("pred", "_", " "),
+                F.lit(" "), F.col("obj"), F.lit("."),
+            ).alias("edge_text"),
+            F.lit("content").alias("edge_kind"),
+            "content_sha",
+        )
+        .withColumn(
+            "edge_object_id",
+            edge_object_id_col(
+                F.col("source_node_id"),
+                F.col("relationship_name"),
+                F.col("target_node_id"),
+            ),
+        )
     )
-    is_a = nodes.select(
-        F.col("entity_id").alias("source_node_id"),
-        id_for_col("EntityType", F.col("kind")).alias("target_node_id"),
-        F.lit("is_a").alias("relationship_name"),
-        edge_object_id_col(F.col("name"), F.lit("is_a"), F.col("kind")).alias("edge_object_id"),
-        F.lit(0.5).alias("feedback_weight"),
-        F.concat_ws(", ", F.col("name"), F.lit("is a"), F.col("kind")).alias("edge_text"),
-        F.lit("structural").alias("edge_kind"),
-        F.lit(None).cast("string").alias("content_sha"),
+    is_a = (
+        nodes.select(
+            F.col("entity_id").alias("source_node_id"),
+            id_for_col("EntityType", F.col("kind")).alias("target_node_id"),
+            F.lit("is_a").alias("relationship_name"),
+            F.lit(0.5).alias("feedback_weight"),
+            F.concat(F.col("name"), F.lit(" is a "), F.col("kind"), F.lit(".")).alias("edge_text"),
+            F.lit("structural").alias("edge_kind"),
+            F.lit(None).cast("string").alias("content_sha"),
+        )
+        .withColumn(
+            "edge_object_id",
+            edge_object_id_col(
+                F.col("source_node_id"),
+                F.col("relationship_name"),
+                F.col("target_node_id"),
+            ),
+        )
     )
     return content.unionByName(is_a).dropDuplicates(["edge_object_id"])
 
@@ -112,10 +135,7 @@ def edge_type_histogram(triples: DataFrame) -> DataFrame:
 
 def graph_metrics(triples: DataFrame, include_components: bool = True) -> dict:
     """Scalar graph metrics (adapter.py:2261-2301 formulas)."""
-    agg = triples.agg(
-        F.count(F.lit(1)).alias("num_edges"),
-        F.approx_count_distinct("subj").alias("_s"),
-    ).first()
+    agg = triples.agg(F.count(F.lit(1)).alias("num_edges")).first()
     nodes = (
         triples.select(F.col("subj").alias("n"))
         .union(triples.select(F.col("obj").alias("n")))

@@ -78,9 +78,18 @@ def score_triplets(
 
 
 def top_k_triplets(scored: DataFrame, k: int = 10) -> DataFrame:
-    """Lowest-score-first top-k (the reference's heapq.nsmallest)."""
+    """Lowest-score-first top-k (the reference's heapq.nsmallest).
+
+    orderBy + limit compiles to TakeOrderedAndProject — each partition keeps
+    its local k, only k rows per partition reach the driver-side merge. A
+    global row_number window would instead move EVERY row to one task. The
+    rank column is derived afterwards on the k-row result (trivially small).
+    """
+    top = scored.orderBy(
+        F.asc("score"), F.asc("subj"), F.asc("pred"), F.asc("obj")
+    ).limit(k)
     w = Window.orderBy(F.asc("score"), F.asc("subj"), F.asc("pred"), F.asc("obj"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def resolve_edges_to_text(triples: DataFrame) -> DataFrame:
@@ -110,8 +119,13 @@ def bm25_score(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
     doc_len = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    avgdl = doc_len.agg(F.avg("dl")).first()[0] or 1.0
+    # one driver action for both corpus constants (two 1-row aggregates)
+    stats = (
+        doc_len.agg(F.avg("dl").alias("avgdl"))
+        .crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+        .first()
+    )
+    n_docs, avgdl = stats.n_docs, stats.avgdl or 1.0
 
     q = F.array(*[F.lit(t) for t in query_terms])
     tf = (
@@ -135,5 +149,7 @@ def bm25_score(
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 9).alias("bm25"))
     )
+    # distributed top-k: TakeOrderedAndProject, then rank over the k survivors
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return top.withColumn("rank", F.row_number().over(w))

@@ -99,18 +99,18 @@ def train_centroids(
                 F.array_max(F.transform(c, lambda cent: _dot(F.col("v"), cent))),
             ).alias("cell"),
         )
+        # per-(cell, dimension) mean via posexplode — the aggregation state per
+        # group is ONE double, never a collected list of full vectors (a cell
+        # holding millions of sample vectors would OOM a collect_list state)
         agg = (
-            assigned.groupBy("cell")
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("mean_x"))
+            .groupBy("cell")
             .agg(
-                F.transform(
-                    F.aggregate(
-                        F.collect_list("v"),
-                        F.array(*[F.lit(0.0)] * len(centroids[0])),
-                        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-                    ),
-                    lambda s: s / F.count(F.lit(1)),
-                ).alias("mean"),
+                F.array_sort(F.collect_list(F.struct("pos", "mean_x"))).alias("dims")
             )
+            .select("cell", F.col("dims.mean_x").alias("mean"))
             .collect()
         )
         for row in agg:

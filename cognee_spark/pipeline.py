@@ -1,14 +1,26 @@
-"""The cognify pipeline — chunk → extract → link → canonicalize → materialize.
+"""The cognify pipeline — chunk → extract(∥summarize) → link → canonicalize →
+materialize → index.
 
-Spark re-expression of cognee's 5-task default pipeline
+Spark re-expression of cognee's default pipeline
 (cognee/api/v1/cognify/cognify.py:350-376: classify_documents →
 extract_chunks_from_documents → extract_graph_and_summarize →
-add_data_points → extract_dlt_fk_edges): every task boundary is a
-checkpointed table commit, every row carries lineage columns
+add_data_points, then index_data_points/index_graph_edges): every task
+boundary is a checkpointed table commit, every row carries lineage columns
 (source_pipeline / source_task / content_sha — run_tasks_base.py:33-117
 provenance stamping), and a killed run resumes from the last committed stage.
 
 Stage order and write ordering (nodes before edges) follow SURVEY §7.1/O9.
+
+Scheduling: the stage DAG is wider than a chain — summarization is
+independent of extraction (the reference runs them as parallel tasks over the
+same chunks, extract_graph_and_summarize.py:12-37), triples and mentions both
+depend only on aliases+extractions, and the five graph leaf tables depend
+only on nodes/triples/mentions. Independent stages are SUBMITTED FROM
+SEPARATE THREADS so their Spark jobs overlap: one stage's write/commit tail
+no longer idles the cluster before the next stage starts. This is what keeps
+N→4N scaling efficiency high — the serial floor is the critical path, not
+the sum of stages. (Spark's scheduler runs concurrently submitted jobs'
+tasks whenever the earlier job doesn't fill every core.)
 
 Run via spark-submit:
     spark-submit --py-files cognee_spark.zip -m cognee_spark.pipeline ...
@@ -20,12 +32,14 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cognee_spark.functions.ids import normalize_identity_col
 from cognee_spark.operators.chunking import chunk_documents
+from cognee_spark.operators.enrich import summarize_chunks
 from cognee_spark.operators.extraction import (
     CODE_LANGS,
     extract_from_chunks,
@@ -33,6 +47,7 @@ from cognee_spark.operators.extraction import (
     mentions_of,
     raw_edges_of,
 )
+from cognee_spark.operators.indexing import build_index
 from cognee_spark.operators.linking import (
     alias_map,
     code_triples,
@@ -68,14 +83,31 @@ def run_pipeline(
     compute_metrics: bool = True,
     force: bool = False,
     dedupe_documents: bool = False,
+    with_summaries: bool = True,
+    with_index: bool = True,
+    ontology: DataFrame | None = None,
 ) -> dict:
     """Execute all stages over a repos(repo,path,commit,lang,content) frame.
 
     Returns {"tables": {name: DataFrame}, "metrics": {...}}. Stages committed
-    under a matching signature are skipped (resume semantics).
+    under a matching signature are skipped (resume semantics). The signature
+    folds in every output-affecting parameter, so re-running with e.g. a
+    different max_chunk_size against the same store root recomputes instead
+    of silently reusing stale tables.
     """
     store = TableStore(store_root)
     t0 = time.time()
+
+    # output-affecting config → stage signatures (coarse but safe: any config
+    # change invalidates the whole run; deterministic ids keep that idempotent)
+    sig_docs = f"{signature}|v2|dd={int(dedupe_documents)}"
+    sig = f"{sig_docs}|mcs={max_chunk_size}|ont={int(ontology is not None)}"
+
+    def stage(name, build, *, signature=sig, partition_by=None, count_rows=True):
+        return run_stage(
+            store, spark, name, signature, build,
+            partition_by=partition_by, force=force, count_rows=count_rows,
+        )
 
     # S1-S4 ingest/identify/classify: content identity via sha256 (the per-row
     # invariant of input_hint), deterministic document id, document type.
@@ -113,8 +145,8 @@ def run_pipeline(
             base = base.join(F.broadcast(dup_ids), "document_id", "left_anti").unionByName(dups)
         return _stamp(base, "ingest")
 
-    documents = run_stage(
-        store, spark, "documents", signature, build_documents, partition_by=["lang"]
+    documents = stage(
+        "documents", build_documents, signature=sig_docs, partition_by=["lang"]
     )
 
     # C1-C6 chunking. Only text-mode documents are chunked: code facts are
@@ -125,119 +157,152 @@ def run_pipeline(
         text_docs = documents.where(~F.col("lang").isin(*CODE_LANGS))
         return _stamp(chunk_documents(text_docs, max_chunk_size=max_chunk_size), "chunk")
 
-    chunks = run_stage(store, spark, "chunks", signature, build_chunks, partition_by=["lang"])
+    chunks = stage("chunks", build_chunks, partition_by=["lang"])
 
-    # E1/E6/E8 extraction — one tall table, parsed once
-    def build_extractions() -> DataFrame:
-        code = extract_from_files(documents)
-        nl = extract_from_chunks(chunks.where(~F.col("lang").isin(*CODE_LANGS)))
-        return _stamp(code.unionByName(nl), "extract")
+    pool = ThreadPoolExecutor(max_workers=6)
+    try:
+        # E4/E5 summarization runs CONCURRENTLY with the extract→link→
+        # materialize spine (the reference's extract_graph_and_summarize
+        # parallel task pair, extract_graph_and_summarize.py:12-37).
+        summaries_future = None
+        if with_summaries:
 
-    extractions = run_stage(
-        store, spark, "extractions", signature, build_extractions, partition_by=["mode"]
-    )
-    mentions = mentions_of(extractions)
-    raw_edges = raw_edges_of(extractions)
+            def build_summaries() -> DataFrame:
+                return _stamp(summarize_chunks(chunks), "summarize")
 
-    # L1-L9 linking + canonicalization
-    def build_aliases() -> DataFrame:
-        return _stamp(alias_map(mentions.where(F.col("mode") == "nl")), "link")
+            summaries_future = pool.submit(stage, "summaries", build_summaries)
 
-    aliases = run_stage(store, spark, "entity_aliases", signature, build_aliases).select(
-        "name", "canonical"
-    )
+        # E1/E6/E8 extraction — one tall table, parsed once. The code and NL
+        # branches are independent inputs of one union write job, so Spark
+        # already runs their stages concurrently inside that job.
+        def build_extractions() -> DataFrame:
+            code = extract_from_files(documents)
+            nl = extract_from_chunks(chunks.where(~F.col("lang").isin(*CODE_LANGS)))
+            return _stamp(code.unionByName(nl), "extract")
 
-    def build_triples() -> DataFrame:
-        resolved = resolve_code_edges(mentions, raw_edges)
-        ct = code_triples(resolved)
-        nt = nl_triples(raw_edges, aliases)
-        return _stamp(ct.unionByName(nt), "materialize_triples")
+        extractions = stage("extractions", build_extractions, partition_by=["mode"])
+        mentions = mentions_of(extractions)
+        raw_edges = raw_edges_of(extractions)
 
-    triples = run_stage(
-        store, spark, "triples", signature, build_triples, partition_by=["pred"]
-    )
-
-    # canonical mention names (for contains edges + node kinds)
-    def build_canonical_mentions() -> DataFrame:
-        code_m = mentions.where(F.col("mode") == "code").withColumn(
-            "canonical_name",
-            F.when(
-                F.col("kind").isin("dependency", "route"),
-                normalize_identity_col(F.col("name")),
-            ).otherwise(normalize_identity_col(F.concat_ws(":", "repo", "name"))),
-        )
-        nl_m = (
-            mentions.where(F.col("mode") == "nl")
-            .join(F.broadcast(aliases), "name", "left")
-            .withColumn(
-                "canonical_name",
-                F.coalesce("canonical", normalize_identity_col(F.col("name"))),
+        # L1-L9 linking + canonicalization
+        def build_aliases() -> DataFrame:
+            return _stamp(
+                alias_map(mentions.where(F.col("mode") == "nl"), ontology=ontology),
+                "link",
             )
-            .drop("canonical")
+
+        aliases = stage("entity_aliases", build_aliases).select("name", "canonical")
+
+        def build_triples() -> DataFrame:
+            resolved = resolve_code_edges(mentions, raw_edges)
+            ct = code_triples(resolved)
+            nt = nl_triples(raw_edges, aliases)
+            out = ct.unionByName(nt)
+            if ontology is not None:
+                from cognee_spark.operators.linking import ontology_is_a_triples
+
+                out = out.unionByName(ontology_is_a_triples(nt, ontology))
+            return _stamp(out, "materialize_triples")
+
+        # canonical mention names (for contains edges + node kinds)
+        def build_canonical_mentions() -> DataFrame:
+            code_m = mentions.where(F.col("mode") == "code").withColumn(
+                "canonical_name",
+                F.when(
+                    F.col("kind").isin("dependency", "route"),
+                    normalize_identity_col(F.col("name")),
+                ).otherwise(normalize_identity_col(F.concat_ws(":", "repo", "name"))),
+            )
+            nl_m = (
+                mentions.where(F.col("mode") == "nl")
+                .join(F.broadcast(aliases), "name", "left")
+                .withColumn(
+                    "canonical_name",
+                    F.coalesce("canonical", normalize_identity_col(F.col("name"))),
+                )
+                .drop("canonical")
+            )
+            return _stamp(code_m.unionByName(nl_m), "canonicalize")
+
+        # triples and mentions share only `aliases` — overlap their jobs
+        triples_future = pool.submit(
+            stage, "triples", build_triples, partition_by=["pred"]
         )
-        return _stamp(code_m.unionByName(nl_m), "canonicalize")
+        mentions_future = pool.submit(
+            stage, "mentions", build_canonical_mentions, partition_by=["mode"]
+        )
+        triples = triples_future.result()
+        canonical_mentions = mentions_future.result()
 
-    canonical_mentions = run_stage(
-        store, spark, "mentions", signature, build_canonical_mentions, partition_by=["mode"]
-    )
+        # K1-K4 materialize: nodes BEFORE edges (O9 write ordering)
+        mention_kinds = (
+            canonical_mentions.groupBy(F.col("canonical_name").alias("name"))
+            .agg(F.min("kind").alias("kind"))
+        )
 
-    # K1-K4 materialize: nodes BEFORE edges (O9 write ordering)
-    mention_kinds = (
-        canonical_mentions.groupBy(F.col("canonical_name").alias("name"))
-        .agg(F.min("kind").alias("kind"))
-    )
+        nodes = stage("nodes", lambda: _stamp(build_nodes(triples, mention_kinds), "nodes"))
 
-    def build_nodes_stage() -> DataFrame:
-        return _stamp(build_nodes(triples, mention_kinds), "nodes")
+        entity_types = stage(
+            "entity_types",
+            lambda: _stamp(build_entity_types(nodes), "entity_types"),
+            count_rows=False,
+        )
 
-    nodes = run_stage(store, spark, "nodes", signature, build_nodes_stage)
-
-    def build_types_stage() -> DataFrame:
-        return _stamp(build_entity_types(nodes), "entity_types")
-
-    entity_types = run_stage(
-        store, spark, "entity_types", signature, build_types_stage, count_rows=False
-    )
-
-    def build_edges_stage() -> DataFrame:
-        return _stamp(build_edges(triples, nodes), "edges")
-
-    edges = run_stage(store, spark, "edges", signature, build_edges_stage, count_rows=False)
-
-    def build_contains_stage() -> DataFrame:
-        return _stamp(build_contains_edges(canonical_mentions), "contains")
-
-    contains = run_stage(
-        store, spark, "contains_edges", signature, build_contains_stage, count_rows=False
-    )
-
-    def build_histogram_stage() -> DataFrame:
-        return _stamp(edge_type_histogram(triples), "edge_types")
-
-    histogram = run_stage(
-        store, spark, "edge_type_histogram", signature, build_histogram_stage, count_rows=False
-    )
+        # graph leaf tables: mutually independent, all inputs committed —
+        # submit every one concurrently (nodes is already durable, so the
+        # nodes-before-edges ordering holds even if a leaf write dies midway)
+        leaf_futures = {
+            "edges": pool.submit(
+                stage, "edges",
+                lambda: _stamp(build_edges(triples, nodes), "edges"),
+                count_rows=False,
+            ),
+            "contains_edges": pool.submit(
+                stage, "contains_edges",
+                lambda: _stamp(build_contains_edges(canonical_mentions), "contains"),
+                count_rows=False,
+            ),
+            "edge_type_histogram": pool.submit(
+                stage, "edge_type_histogram",
+                lambda: _stamp(edge_type_histogram(triples), "edge_types"),
+                count_rows=False,
+            ),
+        }
+        summaries = summaries_future.result() if summaries_future else None
+        if with_index:
+            # index stage (index_data_points.py:10-68): per-(type,field)
+            # embedding collections over the committed graph tables
+            leaf_futures["embeddings"] = pool.submit(
+                stage, "embeddings",
+                lambda: _stamp(
+                    build_index(nodes, entity_types, triples, summaries=summaries),
+                    "index",
+                ),
+                partition_by=["collection"],
+                count_rows=False,
+            )
+        leaves = {name: fut.result() for name, fut in leaf_futures.items()}
+    finally:
+        pool.shutdown(wait=False)
 
     metrics: dict = {"wall_sec": round(time.time() - t0, 3), "stages": store.checkpoints()}
     if compute_metrics:
         metrics["graph"] = graph_metrics(triples)
 
-    return {
-        "tables": {
-            "documents": documents,
-            "chunks": chunks,
-            "extractions": extractions,
-            "entity_aliases": aliases,
-            "triples": triples,
-            "mentions": canonical_mentions,
-            "nodes": nodes,
-            "entity_types": entity_types,
-            "edges": edges,
-            "contains_edges": contains,
-            "edge_type_histogram": histogram,
-        },
-        "metrics": metrics,
+    tables = {
+        "documents": documents,
+        "chunks": chunks,
+        "extractions": extractions,
+        "entity_aliases": aliases,
+        "triples": triples,
+        "mentions": canonical_mentions,
+        "nodes": nodes,
+        "entity_types": entity_types,
+        **leaves,
     }
+    if summaries is not None:
+        tables["summaries"] = summaries
+    return {"tables": tables, "metrics": metrics}
 
 
 def main() -> None:

@@ -208,11 +208,18 @@ def cluster_aliases(names: set[str]) -> dict[str, str]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
+    from cognee_spark.operators.linking import MAX_LSH_BUCKET
+
     buckets: dict[str, list[str]] = _dd(list)
     for k in keys:
         for band in lsh_band_keys(k):
             buckets[band].append(k)
     for members in buckets.values():
+        if len(members) > MAX_LSH_BUCKET:
+            # same skew guard as the pipeline (linking.py MAX_LSH_BUCKET):
+            # a bucket this big is a degenerate band key, not real aliases —
+            # both sides drop it, so candidate generation stays identical
+            continue
         for i, a in enumerate(members):
             for b in members[i + 1 :]:
                 if is_alias_pair(a, b):
@@ -243,3 +250,71 @@ def corpus_specs(n_files: int) -> list[FileSpec]:
 def golden_triples(n_files: int) -> set[Triple]:
     specs = corpus_specs(n_files)
     return resolve_code_triples(specs) | golden_nl_triples(specs)
+
+
+# --- graph-table twins (oracles for the kg_* entry queries) -------------------
+
+
+def golden_mention_kinds(specs: list[FileSpec]) -> dict[str, str]:
+    """canonical_name → min(kind), the pipeline's mention_kinds aggregate.
+
+    Code mentions take their fact kind (module/class/function/method/
+    dependency/route — callsite facts carry no mention, matching
+    extraction.extract_code); NL mentions are kind 'entity'.
+    """
+    kinds: dict[str, set[str]] = defaultdict(set)
+    for spec in specs:
+        for fact in golden_code_facts(spec):
+            kind = fact["kind"]
+            if kind == "callsite":
+                continue
+            if kind in ("dependency", "route"):
+                canon = normalize_identity_py(fact["name"])
+            else:
+                canon = normalize_identity_py(f"{fact['repo']}:{fact['name']}")
+            kinds[canon].add(kind)
+    mentions = nl_mentions(specs)
+    names = {m[0] for m in mentions} | {m[2] for m in mentions}
+    alias = cluster_aliases(names)
+    for name in names:
+        kinds[alias[name]].add("entity")
+    return {canon: min(ks) for canon, ks in kinds.items()}
+
+
+def golden_nodes(n_files: int) -> list[tuple[str, str, str]]:
+    """(entity_id, name, kind) rows — twin of materialize.build_nodes."""
+    from cognee_spark.functions.ids import id_for_py
+
+    specs = corpus_specs(n_files)
+    triples = resolve_code_triples(specs) | golden_nl_triples(specs)
+    kinds = golden_mention_kinds(specs)
+    names = sorted({t[0] for t in triples} | {t[2] for t in triples})
+    return [(id_for_py("Entity", n), n, kinds.get(n, "entity")) for n in names]
+
+
+def golden_edge_type_histogram(n_files: int) -> list[tuple[str, int]]:
+    """(relationship_name, number_of_edges) — twin of edge_type_histogram."""
+    from collections import Counter
+
+    counts = Counter(pred for _s, pred, _o in golden_triples(n_files))
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def golden_context_lines(n_files: int) -> list[str]:
+    """Retrieval context lines — twin of retrieval.resolve_edges_to_text."""
+    return [f"{s} --[{p}]--> {o}" for s, p, o in golden_triples(n_files)]
+
+
+def golden_entity_search(n_files: int, query: str, k: int = 5) -> list[tuple[int, str, str]]:
+    """(rank, item_id, name) top-k entity names by hash-embedding cosine —
+    twin of the pipeline's index stage + brute_force_topk (R1 over the
+    engine's own graph)."""
+    from cognee_spark.functions.embeddings import cosine_py, hash_embedding_py
+
+    qv = hash_embedding_py(query)
+    scored = [
+        (cosine_py(hash_embedding_py(name), qv), entity_id, name)
+        for entity_id, name, _kind in golden_nodes(n_files)
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [(rank + 1, eid, name) for rank, (_c, eid, name) in enumerate(scored[:k])]

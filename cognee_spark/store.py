@@ -24,7 +24,8 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 class TableStore:
@@ -86,6 +87,16 @@ class TableStore:
             pass
 
 
+def _count_part_files(path: str) -> int:
+    """Partition/file count of a committed table from the directory listing —
+    a metadata walk, never a Spark job (rdd.getNumPartitions() on a fresh
+    parquet read costs a full file-listing + split-planning pass)."""
+    n = 0
+    for _dir, _subdirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
 def run_stage(
     store: TableStore,
     spark: SparkSession,
@@ -103,19 +114,25 @@ def run_stage(
     run_tasks_base.py:21-30). The returned frame always reads from the
     committed table (downstream consumers scan parquet, never recompute).
 
-    ``count_rows=False`` is for LEAF tables nothing downstream consumes: the
-    write is the commit; the extra count/partition jobs are pure fixed
-    latency that caps scaling efficiency on small inputs.
+    The row count rides on the WRITE job via ``DataFrame.observe`` — no
+    read-back scan. Round 1 measured the per-stage count()+getNumPartitions
+    read-backs as a serial floor that capped N→4N scaling efficiency; the
+    observation metric is aggregated by the same tasks that write the files,
+    so the commit costs exactly one job. ``count_rows=False`` additionally
+    skips the observation for LEAF tables nothing reads back.
     """
     if not force and store.is_complete(stage, signature) and store.exists(stage):
         return store.read(spark, stage)
     started = time.time()
     df = build()
-    store.write(df, stage, partition_by=partition_by)
-    out = store.read(spark, stage)
-    metrics: dict = {"wall_sec": round(time.time() - started, 3)}
+    metrics: dict = {}
     if count_rows:
-        metrics["rows"] = out.count()
-        metrics["partitions"] = out.rdd.getNumPartitions()
+        obs = Observation(f"rows_{stage}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    store.write(df, stage, partition_by=partition_by)
+    metrics["wall_sec"] = round(time.time() - started, 3)
+    if count_rows:
+        metrics["rows"] = obs.get["rows"]
+        metrics["partitions"] = _count_part_files(store.path(stage))
     store.checkpoint(stage, signature, **metrics)
-    return out
+    return store.read(spark, stage)

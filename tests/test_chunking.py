@@ -119,3 +119,55 @@ def test_spark_chunk_documents_stage(spark):
     # lineage rides along
     assert all(r.content_sha in ("sha1", "sha2") for r in chunks)
     assert all(r.chunk_size <= 5 for r in chunks)
+
+
+# --- C4 chunk_by_row (parity: chunk_by_row.py:32-101) -------------------------
+
+ROW_TEXTS = [
+    "k1:v1, k2:v2, k3:v3\n\nk4:v4, k5:v5",
+    "a:1, b:2, c:3, d:4, e:5, f:6, g:7, h:8, i:9",
+    "single:pair",
+    "",
+    "row1:a\n\n\n\nrow2:b",  # empty rows in between
+    "x:1, y:2\n\nlong, row, with, many, comma, separated, pairs, here, now",
+]
+
+
+@pytest.mark.parametrize("text", ROW_TEXTS)
+def test_chunk_rows_invariants(text):
+    from cognee_spark.operators.chunking import PAIR_TOKEN_SIZE, chunk_rows
+
+    max_size = 12
+    chunks = list(chunk_rows("doc", text, max_size))
+    # sizes bounded (a lone pair may equal PAIR_TOKEN_SIZE even if max < 3)
+    assert all(c["chunk_size"] <= max(max_size, PAIR_TOKEN_SIZE) for c in chunks)
+    assert all(c["cut_type"] in ("row_cut", "row_end") for c in chunks)
+    # chunk_index dense and monotone
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+    # per-row reconstruction: joining a row's chunk texts with ", " gives the row
+    rows = [r for r in text.split("\n\n") if r != ""]
+    rebuilt, buf = [], []
+    for c in chunks:
+        buf.append(c["text"])
+        if c["cut_type"] == "row_end":
+            rebuilt.append(", ".join(buf))
+            buf = []
+    assert rebuilt == rows
+    # deterministic ids
+    assert all(c["chunk_id"] == str(uuid.uuid5(uuid.NAMESPACE_OID, c["text"])) for c in chunks)
+
+
+def test_chunk_rows_dataframe_matches_kernel(spark):
+    from cognee_spark.operators.chunking import chunk_rows, chunk_rows_documents
+
+    rows = [(i, ROW_TEXTS[i % len(ROW_TEXTS)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.document_id, r.chunk_index): (r.text, r.chunk_size, r.cut_type)
+        for r in chunk_rows_documents(df, max_chunk_size=12, id_col="doc_id", text_col="text").collect()
+    }
+    expected = {}
+    for i, text in rows:
+        for c in chunk_rows(str(i), text, 12):
+            expected[(str(i), c["chunk_index"])] = (c["text"], c["chunk_size"], c["cut_type"])
+    assert got == expected

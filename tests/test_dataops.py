@@ -123,6 +123,40 @@ def test_ivf_recall(spark, embeddings):
     assert recall >= 0.6, recall  # nprobe=4 of 8 cells
 
 
+def test_embedding_duplicates_lsh_recall(spark, embeddings):
+    """Blocked LSH path vs brute force on planted near-dups: recall >= 0.95
+    at the production threshold, zero false positives by construction (exact
+    verify step)."""
+    import random
+
+    from cognee_spark.operators.dedup import (
+        embedding_duplicates,
+        embedding_duplicates_bruteforce,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        # planted near-dup: tiny perturbation → cosine ~0.999
+        rows.append((1000 + i, [x + rng.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.a, r.b)
+        for r in embedding_duplicates_bruteforce(df, threshold=0.95).collect()
+    }
+    blocked = {
+        (r.a, r.b) for r in embedding_duplicates(df, threshold=0.95, dim=64).collect()
+    }
+    assert len(exact) >= 40  # the plant worked
+    assert blocked <= exact  # verification step ⇒ no false positives
+    assert len(blocked & exact) / len(exact) >= 0.95
+
+    # runs over the real table (no near-dups there at 0.95)
+    assert embedding_duplicates(embeddings, threshold=0.95, dim=64).count() == 0
+
+
 def test_textstats(spark, docs):
     from cognee_spark.operators.textstats import (
         fingerprints,

@@ -88,5 +88,9 @@ def test_invalidate_and_rebuild_identical(result, spark):
 
 def test_signature_change_invalidates(result, spark):
     store = TableStore(result["root"])
-    assert not store.is_complete("documents", "synthetic:999")
-    assert store.is_complete("documents", f"synthetic:{N}")
+    assert not store.is_complete("documents", "synthetic:999|v2|dd=0")
+    # stage signatures fold in output-affecting config (dedupe flag,
+    # max_chunk_size) so a config change forces recompute
+    assert store.is_complete("documents", f"synthetic:{N}|v2|dd=0")
+    assert store.is_complete("chunks", f"synthetic:{N}|v2|dd=0|mcs=512|ont=0")
+    assert not store.is_complete("chunks", f"synthetic:{N}|v2|dd=0|mcs=256|ont=0")

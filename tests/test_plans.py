@@ -64,6 +64,33 @@ def test_textstats_all_codegen(spark):
         assert "EvalPython" not in _plan(fn(spark, SF_DIR))
 
 
+def test_topk_is_distributed_not_global_window(spark):
+    """bm25 / triplet top-k must compile to TakeOrderedAndProject — a global
+    single-partition row_number window moves EVERY row to one task."""
+    plan = _plan(entry_mod.bm25_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+    from cognee_spark.operators.retrieval import score_triplets, top_k_triplets
+
+    triples = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")], ["subj", "pred", "obj"]
+    )
+    dists = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.2), ("c", 0.3)], ["name", "distance"]
+    )
+    plan2 = _plan(top_k_triplets(score_triplets(triples, dists), k=1))
+    assert "TakeOrderedAndProject" in plan2, plan2
+
+
+def test_embedding_dedup_no_cartesian(spark):
+    """The blocked LSH self-join must key on (band) — never an all-pairs
+    CartesianProduct/BroadcastNestedLoopJoin."""
+    plan = _plan(entry_mod.embedding_dedup_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan  # planes/dots/signs all codegen
+
+
 def test_nl_alias_join_broadcasts(spark):
     from cognee_spark.operators.linking import nl_triples
 
