@@ -415,6 +415,37 @@ SELECT user_id, event_id, event_type, value FROM (
 """
 
 
+def temporal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 temporal search pre-filter: QueryInterval over the event stream
+    (open-ended bounds, pushdown-friendly range predicate), bucketed per day
+    per type — the reference's time-bounded event retrieval shape."""
+    from cognee_spark.operators.temporal import events_in_interval
+
+    ev = _t(spark, sf_dir, "events")
+    filtered = events_in_interval(
+        ev, starts_at="2024-01-08 00:00:00", ends_at="2024-01-15 00:00:00", time_col="ts"
+    )
+    return (
+        filtered.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+_TEMPORAL_SQL = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 # --- retrieval operators (R2/R4/R5) ---------------------------------------------------
 
 
@@ -770,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": top_customers,
         "lineitem_pricing": lineitem_pricing,
         "top_event_per_user": top_event_per_user,
+        "temporal_interval": temporal_interval,
         "khop_words": khop_words,
         "bm25_topk": bm25_topk,
         "doc_summaries": doc_summaries,
@@ -806,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": _TOP_CUSTOMERS_SQL,
         "lineitem_pricing": _PRICING_SQL,
         "top_event_per_user": _TOP_EVENT_SQL,
+        "temporal_interval": _TEMPORAL_SQL,
         "khop_words": _KHOP_SQL,
         "bm25_topk": _BM25_SQL,
         "doc_summaries": _SUMMARIES_SQL,

@@ -46,20 +46,27 @@ from cognee_spark.sources.corpus import build_repos_df
 
 cpus = {cpus}
 n_files = {n_files}
-spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus)
+# shuffle partitions FIXED across parallelism levels (64 = session default at
+# both local[4] and local[16]): identical logical + physical plan, only the
+# core count differs — the same way a real N-vs-4N cluster comparison holds
+# the dataset partitioning constant.
+spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]")
 scratch = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
 root = tempfile.mkdtemp(prefix="cognee_scaling", dir=scratch)
 # warm the JVM/Python-worker pools so we measure dataflow, not process spawn
 run_pipeline(spark, build_repos_df(spark, 210), root + "_warm", "warm:210",
-             compute_metrics=False, force=True)
+             compute_metrics=False, force=True,
+             with_summaries=False, with_index=False)
 # the north-rule input is an EXISTING (repo,lang)-partitioned table: the
 # measured job SCANS it (like any production run); synthesis happened once
 # in the prepare step, outside the timed window.
 repos = spark.read.parquet({input_dir!r}).select("repo", "path", "commit", "lang", "content")
+# north-rule scope: triple extraction → linking → canonicalization → graph
+# materialize (summaries/index stages are measured separately in bench.py)
 started = time.perf_counter()
 result = run_pipeline(spark, repos, root,
-                      f"scaling:{{n_files}}", compute_metrics=False, force=True)
+                      f"scaling:{{n_files}}", compute_metrics=False, force=True,
+                      with_summaries=False, with_index=False)
 triples = result["tables"]["triples"].count()
 wall = time.perf_counter() - started
 shutil.rmtree(root, ignore_errors=True)
