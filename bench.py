@@ -55,13 +55,16 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_signatures",
         "simhash_signatures",
+        "embedding_dedup_pairs",
         "ann_topk",
+        "chunk_rows",
         "text_token_counts",
         "text_quality",
         "text_language_id",
         "top_customers",
         "lineitem_pricing",
         "top_event_per_user",
+        "temporal_interval",
     ]
     registry = entry_mod.queries()
     timings: dict[str, float] = {}

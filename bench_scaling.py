@@ -113,6 +113,7 @@ def main() -> None:
     parser.add_argument("--high", type=int, default=32)
     parser.add_argument("--trials", type=int, default=2)
     parser.add_argument("--input-dir", help="reuse an already-prepared repos table")
+    parser.add_argument("--no-md", action="store_true", help="write only the JSON report")
     args = parser.parse_args()
 
     if args.input_dir:
@@ -143,6 +144,13 @@ def main() -> None:
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    # raw report always persisted; BASELINE.md assembles the evidence across
+    # (N, 4N) pairs
+    (bench_dir / f"scaling_{args.low}v{args.high}_{args.n_files}.json").write_text(
+        json.dumps(report, indent=2)
+    )
+    if args.no_md:
+        return
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
 
 North rule criterion: throughput scaling efficiency >= 0.8 between N and 4N

@@ -79,20 +79,20 @@ def uuid5_col(name: Column, namespace: uuid.UUID = NAMESPACE_OID) -> Column:
     variant nibble (n & 3) | 8, formatted 8-4-4-4-12.
     """
     digest = F.sha1(F.concat(F.lit(bytearray(namespace.bytes)), F.encode(name, "UTF-8")))
-    hex32 = F.concat(
-        F.substring(digest, 1, 12),
-        F.lit("5"),
+    # single concat over digest slices (no intermediate 32-char hex string):
+    # ids are computed per edge/node at 10^12 scale, so one saved allocation
+    # per id is real CPU; output is bit-identical (pinned by tests/test_ids.py)
+    return F.concat(
+        F.substring(digest, 1, 8),
+        F.lit("-"),
+        F.substring(digest, 9, 4),
+        F.lit("-5"),
         F.substring(digest, 14, 3),
+        F.lit("-"),
         F.translate(F.substring(digest, 17, 1), _VARIANT_FROM, _VARIANT_TO),
-        F.substring(digest, 18, 15),
-    )
-    return F.concat_ws(
-        "-",
-        F.substring(hex32, 1, 8),
-        F.substring(hex32, 9, 4),
-        F.substring(hex32, 13, 4),
-        F.substring(hex32, 17, 4),
-        F.substring(hex32, 21, 12),
+        F.substring(digest, 18, 3),
+        F.lit("-"),
+        F.substring(digest, 21, 12),
     )
 
 

@@ -338,8 +338,8 @@ def chunk_documents(
         F.col(id_col).alias("document_id"), F.col(text_col).alias("text"), *lineage
     )
     cores = documents.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
-        src = src.repartition(cores)
+    if src.rdd.getNumPartitions() < 2 * cores:
+        src = src.repartition(2 * cores)
 
     out_fields = [
         f

@@ -286,15 +286,17 @@ def _append_rows(cols, rows, mode, repo, path, lang, chunk_id, content_sha) -> N
 
 
 def _widen(src: DataFrame) -> DataFrame:
-    """Ensure a Python-parse stage gets at least default-parallelism tasks.
+    """Ensure a Python-parse stage gets at least 2x-default-parallelism tasks.
 
     A compacted upstream table can scan into a handful of splits; the CPU-heavy
     Arrow-UDF stage downstream would then run that narrow regardless of
     cluster size. One round-robin repartition (no key, no skew) unlocks full
-    parallelism; skipped when the scan is already wide enough."""
+    parallelism; 2x cores keeps content-length variance from turning into
+    whole-stage stragglers and overlaps Python parse with JVM Arrow encode.
+    Skipped when the scan is already wide enough."""
     cores = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
-        return src.repartition(cores)
+    if src.rdd.getNumPartitions() < 2 * cores:
+        return src.repartition(2 * cores)
     return src
 
 

@@ -170,17 +170,27 @@ def code_triples(resolved: DataFrame) -> DataFrame:
     """Resolved edges → normalized (subj, pred, obj) triples.
 
     Node names are repo-qualified except external deps / routes, matching the
-    oracle (sources/golden.py resolve_code_triples)."""
+    oracle (sources/golden.py resolve_code_triples). The distinct runs on the
+    RAW resolved columns first: rows are narrower through the shuffle and the
+    normalization expressions run once per distinct fact, not per occurrence.
+    (Raw-distinct ⇒ normalized-distinct here because normalization only
+    lowercases/translates within each column — it can merge rows, which the
+    downstream per-table dedups handle, never split them.)"""
     qualify_obj = F.when(
         F.col("rel").isin("depends_on_external", "exposes"),
         normalize_identity_col(F.col("dst")),
     ).otherwise(normalize_identity_col(F.concat_ws(":", "repo", "dst")))
-    return resolved.select(
-        normalize_identity_col(F.concat_ws(":", "repo", "src")).alias("subj"),
-        normalize_identity_col(F.col("rel")).alias("pred"),
-        qualify_obj.alias("obj"),
-        "repo", "path", "lang", "content_sha",
-    ).distinct()
+    return (
+        resolved.select("repo", "path", "lang", "content_sha", "src", "rel", "dst")
+        .distinct()
+        .select(
+            normalize_identity_col(F.concat_ws(":", "repo", "src")).alias("subj"),
+            normalize_identity_col(F.col("rel")).alias("pred"),
+            qualify_obj.alias("obj"),
+            "repo", "path", "lang", "content_sha",
+        )
+        .distinct()
+    )
 
 
 # --- NL-mode linking -------------------------------------------------------------

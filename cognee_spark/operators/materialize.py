@@ -56,6 +56,62 @@ def build_entity_types(nodes: DataFrame) -> DataFrame:
     )
 
 
+def build_structural_edges(mentions: DataFrame) -> DataFrame:
+    """The reference's remaining two structural edge families
+    (retrieve_existing_edges.py:44-73): container → EntityType ``exists_in``
+    and container → Entity ``mentioned_in`` (the third family, Entity →
+    EntityType ``is_a``, is emitted by build_edges from the nodes table).
+
+    Containers are DocumentChunk DataPoints — the reference builds these
+    families per data_chunk, so they apply to chunk-scoped (NL) mentions;
+    file-level code mentions are covered by the `contains` edges. The chunk_id
+    is already the chunk's deterministic DataPoint id, and dedup runs on the
+    narrow natural keys BEFORE any uuid5 derivation.
+    """
+    base = mentions.where(F.col("chunk_id").isNotNull()).select(
+        F.col("chunk_id").alias("container_id"),
+        F.col("canonical_name").alias("entity_name"),
+        F.col("kind").alias("kind"),
+        "content_sha",
+    )
+    exists_in = (
+        base.groupBy("container_id", "kind")
+        .agg(F.min("content_sha").alias("content_sha"))
+        .select(
+            F.col("container_id").alias("source_node_id"),
+            id_for_col("EntityType", F.col("kind")).alias("target_node_id"),
+            F.lit("exists_in").alias("relationship_name"),
+            F.lit(0.5).alias("feedback_weight"),
+            F.concat(F.col("kind"), F.lit(" exists in "), F.col("container_id"), F.lit("."))
+            .alias("edge_text"),
+            F.lit("structural").alias("edge_kind"),
+            "content_sha",
+        )
+    )
+    mentioned_in = (
+        base.groupBy("container_id", "entity_name")
+        .agg(F.min("content_sha").alias("content_sha"))
+        .select(
+            F.col("container_id").alias("source_node_id"),
+            id_for_col("Entity", F.col("entity_name")).alias("target_node_id"),
+            F.lit("mentioned_in").alias("relationship_name"),
+            F.lit(0.5).alias("feedback_weight"),
+            F.concat(
+                F.col("entity_name"), F.lit(" mentioned in "), F.col("container_id"), F.lit(".")
+            ).alias("edge_text"),
+            F.lit("structural").alias("edge_kind"),
+            "content_sha",
+        )
+    )
+    out = exists_in.unionByName(mentioned_in)
+    return out.withColumn(
+        "edge_object_id",
+        edge_object_id_col(
+            F.col("source_node_id"), F.col("relationship_name"), F.col("target_node_id")
+        ),
+    )
+
+
 def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
     """Content edges with stable edge_object_id + reference default props.
 
@@ -66,8 +122,15 @@ def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
     label>." — so a store produced here is id-compatible with one produced
     by the reference over the same nodes.
     """
+    # Dedup FIRST on the narrow (subj, pred, obj) key, then derive ids: the
+    # triples table keeps one row per (s,p,o,source-file), so deduping after
+    # id derivation would run the uuid5 sha1 chains on every duplicate and
+    # shuffle the derived wide rows. min(content_sha) keeps the surviving
+    # provenance deterministic (dropDuplicates picks an arbitrary row).
     content = (
-        triples.select(
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.min("content_sha").alias("content_sha"))
+        .select(
             id_for_col("Entity", F.col("subj")).alias("source_node_id"),
             id_for_col("Entity", F.col("obj")).alias("target_node_id"),
             F.col("pred").alias("relationship_name"),
@@ -107,21 +170,36 @@ def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
             ),
         )
     )
-    return content.unionByName(is_a).dropDuplicates(["edge_object_id"])
+    # no post-union dropDuplicates shuffle needed: content rows are unique by
+    # the (s,p,o) groupBy, is_a rows by node entity_id, and the two families
+    # cannot collide (Entity vs EntityType uuid5 namespaces); uniqueness is
+    # pinned by tests/test_pipeline.py::test_no_duplicate_ids
+    return content.unionByName(is_a)
 
 
 def build_contains_edges(mentions: DataFrame) -> DataFrame:
     """chunk/document → entity `contains` edges (DocumentChunk.contains,
     expand_with_nodes_and_edges.py:285-303). Source is the chunk for NL
-    mentions and the document (path) for file-level code mentions."""
+    mentions and the document (path) for file-level code mentions.
+
+    Dedup happens on the narrow natural key BEFORE id derivation — the uuid5
+    sha1 chain runs once per surviving edge, not once per mention row."""
     src = F.coalesce(F.col("chunk_id"), F.concat_ws(":", "repo", "path"))
-    return mentions.select(
-        src.alias("container_id"),
-        id_for_col("Entity", F.col("canonical_name")).alias("entity_id"),
-        F.col("canonical_name").alias("entity_name"),
-        F.lit("contains").alias("relationship_name"),
-        "content_sha",
-    ).distinct()
+    return (
+        mentions.select(
+            src.alias("container_id"),
+            F.col("canonical_name").alias("entity_name"),
+            "content_sha",
+        )
+        .distinct()
+        .select(
+            "container_id",
+            id_for_col("Entity", F.col("entity_name")).alias("entity_id"),
+            "entity_name",
+            F.lit("contains").alias("relationship_name"),
+            "content_sha",
+        )
+    )
 
 
 def edge_type_histogram(triples: DataFrame) -> DataFrame:

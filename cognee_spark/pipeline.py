@@ -42,7 +42,6 @@ from cognee_spark.operators.chunking import chunk_documents
 from cognee_spark.operators.enrich import summarize_chunks
 from cognee_spark.operators.extraction import (
     CODE_LANGS,
-    extract_from_chunks,
     extract_from_files,
     mentions_of,
     raw_edges_of,
@@ -59,6 +58,7 @@ from cognee_spark.operators.materialize import (
     build_edges,
     build_entity_types,
     build_nodes,
+    build_structural_edges,
     edge_type_histogram,
     graph_metrics,
 )
@@ -86,6 +86,7 @@ def run_pipeline(
     with_summaries: bool = True,
     with_index: bool = True,
     ontology: DataFrame | None = None,
+    nl_extractor: str = "default",
 ) -> dict:
     """Execute all stages over a repos(repo,path,commit,lang,content) frame.
 
@@ -101,7 +102,10 @@ def run_pipeline(
     # output-affecting config → stage signatures (coarse but safe: any config
     # change invalidates the whole run; deterministic ids keep that idempotent)
     sig_docs = f"{signature}|v2|dd={int(dedupe_documents)}"
-    sig = f"{sig_docs}|mcs={max_chunk_size}|ont={int(ontology is not None)}"
+    sig = (
+        f"{sig_docs}|mcs={max_chunk_size}|ont={int(ontology is not None)}"
+        f"|nlx={nl_extractor if isinstance(nl_extractor, str) else 'custom'}"
+    )
 
     def stage(name, build, *, signature=sig, partition_by=None, count_rows=True):
         return run_stage(
@@ -176,8 +180,11 @@ def run_pipeline(
         # branches are independent inputs of one union write job, so Spark
         # already runs their stages concurrently inside that job.
         def build_extractions() -> DataFrame:
+            from cognee_spark.registry import NL_EXTRACTORS, resolve
+
+            extract_nl_stage = resolve(NL_EXTRACTORS, nl_extractor)
             code = extract_from_files(documents)
-            nl = extract_from_chunks(chunks.where(~F.col("lang").isin(*CODE_LANGS)))
+            nl = extract_nl_stage(chunks.where(~F.col("lang").isin(*CODE_LANGS)))
             return _stamp(code.unionByName(nl), "extract")
 
         extractions = stage("extractions", build_extractions, partition_by=["mode"])
@@ -224,17 +231,24 @@ def run_pipeline(
             )
             return _stamp(code_m.unionByName(nl_m), "canonicalize")
 
-        # triples and mentions share only `aliases` — overlap their jobs
+        # triples and mentions share only `aliases` — overlap their jobs, and
+        # start each dependent stage the moment its actual input commits:
+        # contains_edges needs only mentions, edge_type_histogram only
+        # triples — neither waits for nodes.
         triples_future = pool.submit(
             stage, "triples", build_triples, partition_by=["pred"]
         )
         mentions_future = pool.submit(
             stage, "mentions", build_canonical_mentions, partition_by=["mode"]
         )
-        triples = triples_future.result()
         canonical_mentions = mentions_future.result()
+        triples = triples_future.result()
 
-        # K1-K4 materialize: nodes BEFORE edges (O9 write ordering)
+        # K1-K4 materialize: nodes BEFORE edges (O9 write ordering). The
+        # spine through nodes runs ALONE: co-scheduling leaf writes against
+        # it steals its cores under FIFO (measured: +6s on triples, +25s on
+        # nodes at local[4]) — leaves are all terminal, so they run together
+        # at the end where stealing cannot lengthen the critical path.
         mention_kinds = (
             canonical_mentions.groupBy(F.col("canonical_name").alias("name"))
             .agg(F.min("kind").alias("kind"))
@@ -248,22 +262,34 @@ def run_pipeline(
             count_rows=False,
         )
 
-        # graph leaf tables: mutually independent, all inputs committed —
-        # submit every one concurrently (nodes is already durable, so the
-        # nodes-before-edges ordering holds even if a leaf write dies midway)
-        leaf_futures = {
-            "edges": pool.submit(
-                stage, "edges",
-                lambda: _stamp(build_edges(triples, nodes), "edges"),
+        # terminal leaf tables run SEQUENTIALLY, largest first: each is a
+        # wide allocation-heavy write that saturates the cluster alone, and
+        # running them concurrently inflates their combined task CPU
+        # (event-log measured at 3.2M files / local[16]: edges 468→1158
+        # core-s, contains 420→703 when co-scheduled — GC/allocator
+        # contention, zero spill). Sequential leaves are faster at every
+        # measured size ≥800k files. nodes is already durable, preserving
+        # the nodes-before-edges write ordering.
+        leaves = {
+            "edges": stage(
+                "edges",
+                # content + is_a + the exists_in/mentioned_in structural
+                # families (retrieve_existing_edges.py) in one edge table
+                lambda: _stamp(
+                    build_edges(triples, nodes).unionByName(
+                        build_structural_edges(canonical_mentions)
+                    ),
+                    "edges",
+                ),
                 count_rows=False,
             ),
-            "contains_edges": pool.submit(
-                stage, "contains_edges",
+            "contains_edges": stage(
+                "contains_edges",
                 lambda: _stamp(build_contains_edges(canonical_mentions), "contains"),
                 count_rows=False,
             ),
-            "edge_type_histogram": pool.submit(
-                stage, "edge_type_histogram",
+            "edge_type_histogram": stage(
+                "edge_type_histogram",
                 lambda: _stamp(edge_type_histogram(triples), "edge_types"),
                 count_rows=False,
             ),
@@ -272,8 +298,8 @@ def run_pipeline(
         if with_index:
             # index stage (index_data_points.py:10-68): per-(type,field)
             # embedding collections over the committed graph tables
-            leaf_futures["embeddings"] = pool.submit(
-                stage, "embeddings",
+            leaves["embeddings"] = stage(
+                "embeddings",
                 lambda: _stamp(
                     build_index(nodes, entity_types, triples, summaries=summaries),
                     "index",
@@ -281,7 +307,6 @@ def run_pipeline(
                 partition_by=["collection"],
                 count_rows=False,
             )
-        leaves = {name: fut.result() for name, fut in leaf_futures.items()}
     finally:
         pool.shutdown(wait=False)
 

@@ -1,0 +1,52 @@
+"""Pluggable kernel registry — §2.9 of SURVEY.md.
+
+The reference swaps implementations through its config/DI layer (custom
+chunkers per document type, extract_graph_from_data vs _v2, LLM gateway
+models). Spark re-expression: every Python kernel in the pipeline is a
+DataFrame-in/DataFrame-out function with a fixed schema, so "configuration"
+is a name → function registry. `run_pipeline(nl_extractor="cascade")`
+switches the NL extraction stage to the cascade kernel without touching any
+downstream stage — both emit EXTRACTION_SCHEMA rows.
+
+Registering a custom kernel:
+
+    from cognee_spark.registry import NL_EXTRACTORS
+    NL_EXTRACTORS["my_llm"] = my_batched_extractor   # (chunks_df) -> df
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from cognee_spark.operators.cascade import cascade_extract_from_chunks
+from cognee_spark.operators.chunking import chunk_documents, chunk_rows_documents
+from cognee_spark.operators.enrich import summarize_chunks
+from cognee_spark.operators.extraction import extract_from_chunks
+
+NL_EXTRACTORS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "default": extract_from_chunks,          # single-pass (extract_graph_from_data)
+    "cascade": cascade_extract_from_chunks,  # 3-phase v2 (extract_graph_from_data_v2)
+}
+
+CHUNKERS: dict[str, Callable[..., DataFrame]] = {
+    "paragraph": chunk_documents,   # TextChunker / chunk_by_paragraph path
+    "row": chunk_rows_documents,    # chunk_by_row path (structured corpora)
+}
+
+SUMMARIZERS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "extractive": summarize_chunks,
+}
+
+
+def resolve(registry: dict, name_or_fn):
+    """Accept either a registered name or a direct callable."""
+    if callable(name_or_fn):
+        return name_or_fn
+    try:
+        return registry[name_or_fn]
+    except KeyError:
+        raise ValueError(
+            f"unknown kernel {name_or_fn!r}; registered: {sorted(registry)}"
+        ) from None

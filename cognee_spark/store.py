@@ -124,6 +124,9 @@ def run_stage(
     if not force and store.is_complete(stage, signature) and store.exists(stage):
         return store.read(spark, stage)
     started = time.time()
+    # thread-local job description → Spark UI / event-log attribution of
+    # every job this stage submits (works under concurrent stage submission)
+    spark.sparkContext.setLocalProperty("spark.job.description", f"stage:{stage}")
     df = build()
     metrics: dict = {}
     if count_rows:

@@ -78,3 +78,31 @@ def test_cascade_dataframe_stage(spark):
     mentions = {r.name for r in rows if r.row_kind == "mention"}
     assert {"ZephyrService", "QuokkaRegistry", "Maple Hub"} <= mentions
     assert all(r.mode == "nl" and r.content_sha == "sha" for r in rows)
+
+
+def test_pipeline_with_cascade_extractor(spark, tmp_path):
+    """§2.9 registry: run_pipeline(nl_extractor='cascade') swaps the NL
+    kernel; on the corpus statement grammar the graph must be identical to
+    the default extractor's."""
+    from cognee_spark.pipeline import run_pipeline
+    from cognee_spark.sources.corpus import build_repos_df
+
+    repos = build_repos_df(spark, 120)
+    a = run_pipeline(spark, repos, str(tmp_path / "a"), "reg:120",
+                     compute_metrics=False, with_summaries=False, with_index=False)
+    b = run_pipeline(spark, repos, str(tmp_path / "b"), "reg:120",
+                     compute_metrics=False, with_summaries=False, with_index=False,
+                     nl_extractor="cascade")
+    ta = {(r.subj, r.pred, r.obj) for r in a["tables"]["triples"].collect()}
+    tb = {(r.subj, r.pred, r.obj) for r in b["tables"]["triples"].collect()}
+    assert ta == tb
+
+
+def test_registry_rejects_unknown_kernel():
+    import pytest as _pytest
+
+    from cognee_spark.registry import NL_EXTRACTORS, resolve
+
+    with _pytest.raises(ValueError):
+        resolve(NL_EXTRACTORS, "nope")
+    assert resolve(NL_EXTRACTORS, NL_EXTRACTORS["default"]) is NL_EXTRACTORS["default"]

@@ -92,5 +92,20 @@ def test_signature_change_invalidates(result, spark):
     # stage signatures fold in output-affecting config (dedupe flag,
     # max_chunk_size) so a config change forces recompute
     assert store.is_complete("documents", f"synthetic:{N}|v2|dd=0")
-    assert store.is_complete("chunks", f"synthetic:{N}|v2|dd=0|mcs=512|ont=0")
-    assert not store.is_complete("chunks", f"synthetic:{N}|v2|dd=0|mcs=256|ont=0")
+    assert store.is_complete("chunks", f"synthetic:{N}|v2|dd=0|mcs=512|ont=0|nlx=default")
+    assert not store.is_complete("chunks", f"synthetic:{N}|v2|dd=0|mcs=256|ont=0|nlx=default")
+
+
+def test_structural_edge_families(result, spark):
+    """The three structural families of retrieve_existing_edges.py:44-73 all
+    materialize: is_a (entity→type), exists_in (container→type),
+    mentioned_in (container→entity)."""
+    # re-read from the store: an earlier test overwrites the edges parquet,
+    # so the fixture's DataFrame holds a stale file listing
+    edges = TableStore(result["root"]).read(spark, "edges")
+    kinds = {
+        r.relationship_name
+        for r in edges.where(F.col("edge_kind") == "structural")
+        .select("relationship_name").distinct().collect()
+    }
+    assert kinds == {"is_a", "exists_in", "mentioned_in"}
