@@ -217,6 +217,13 @@ def embedding_duplicates(
         dim = embeddings.select(F.size(vec_col).alias("d")).first().d
     planes = hyperplanes(dim)
 
+    # the 48 dot products are UNROLLED literal expressions on purpose: a
+    # higher-order-function form (transform over a 2-D literal) compiles
+    # instantly but executes interpreted AND re-inlines the signature into
+    # every band key (measured 3x slower end-to-end); the unrolled form costs
+    # ~10 s of one-time Janino compilation and then runs in whole-stage
+    # codegen — the right trade at any real table size, since plan
+    # compilation is per query, not per row
     def _dot_lit(vec, plane):
         return F.aggregate(
             F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda x, y: x * y),

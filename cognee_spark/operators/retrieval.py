@@ -101,6 +101,41 @@ def resolve_edges_to_text(triples: DataFrame) -> DataFrame:
     )
 
 
+COMPLETION_PROMPT_TEMPLATE = (
+    "The question is: `{question}`\n"
+    "and here is the context provided with a set of relationships from a "
+    "knowledge graph separated by \\n---\\n each represented as node1 -- "
+    "relation -- node2 triplet: `{context}`"
+)
+
+
+def completion_prompt(
+    context: DataFrame, question: str, context_col: str = "context_line"
+) -> str:
+    """R7 minus the LLM call: assemble the graph-completion user prompt
+    (graph_completion_retriever.get_completion_from_context +
+    prompts/graph_context_for_question.txt). The context frame is the
+    already-top-k'd retrieval output — k rows, so the collect is bounded by
+    construction; the LLM invocation itself is the pluggable serving seam.
+    """
+    lines = [r[0] for r in context.select(context_col).collect()]
+    return COMPLETION_PROMPT_TEMPLATE.format(
+        question=question, context="\n---\n".join(sorted(lines))
+    )
+
+
+def graph_completion_context(
+    triples: DataFrame,
+    node_distances: DataFrame,
+    question: str,
+    k: int = 5,
+) -> str:
+    """End-to-end R1→R4→R7 context construction: score triplets against the
+    query's node distances, keep top-k, resolve to text, render the prompt."""
+    top = top_k_triplets(score_triplets(triples, node_distances), k=k)
+    return completion_prompt(resolve_edges_to_text(top), question)
+
+
 def bm25_score(
     docs: DataFrame,
     query_terms: list[str],

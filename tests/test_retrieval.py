@@ -73,3 +73,24 @@ def test_bm25(spark):
     scores = {r.doc_id: r.bm25 for r in top}
     assert scores[4] > scores[2]
     assert scores[1] > scores[2]
+
+
+def test_completion_prompt_assembly(spark):
+    """R7 context construction (graph_context_for_question.txt rendering)."""
+    from cognee_spark.operators.retrieval import graph_completion_context
+
+    triples = spark.createDataFrame(
+        [("a", "uses", "b"), ("b", "calls", "c"), ("c", "uses", "d")],
+        ["subj", "pred", "obj"],
+    )
+    dists = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.2), ("c", 0.9), ("d", 0.9)], ["name", "distance"]
+    )
+    prompt = graph_completion_context(triples, dists, "who uses b?", k=2)
+    assert "The question is: `who uses b?`" in prompt
+    assert "a --[uses]--> b" in prompt
+    assert "b --[calls]--> c" in prompt
+    assert "c --[uses]--> d" not in prompt  # outside top-k
+    assert "\n---\n" in prompt
+    # deterministic across invocations
+    assert prompt == graph_completion_context(triples, dists, "who uses b?", k=2)
