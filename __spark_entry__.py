@@ -341,6 +341,26 @@ WHERE text <> ''
 """
 
 
+def relational_fk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 dlt-source graph: deterministic FK edges between row documents
+    (extract_dlt_fk_edges semantics) over the orders→customer foreign key."""
+    from cognee_spark.sources.relational import fk_row_edges
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return fk_row_edges(
+        orders, "orders", "o_orderkey", "o_custkey", customer, "customer", "c_custkey"
+    )
+
+
+_RELATIONAL_FK_SQL = """
+SELECT 'db/orders:orders/' || o_orderkey || '.row' AS subj,
+       'references_customer' AS pred,
+       'db/customer:customer/' || c_custkey || '.row' AS obj
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # --- relational demo (scan/join/agg/window over the star schema) ----------------------
 
 
@@ -814,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": simhash_signatures,
         "embedding_dedup_pairs": embedding_dedup_pairs,
         "chunk_rows": chunk_rows,
+        "relational_fk_edges": relational_fk_edges,
     }
 
 
@@ -851,4 +872,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_context_lines": _KG_CONTEXT_SQL,
         "kg_search": _KG_SEARCH_SQL,
         "chunk_rows": _CHUNK_ROWS_SQL,
+        "relational_fk_edges": _RELATIONAL_FK_SQL,
     }

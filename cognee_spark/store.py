@@ -138,4 +138,7 @@ def run_stage(
         metrics["rows"] = obs.get["rows"]
         metrics["partitions"] = _count_part_files(store.path(stage))
     store.checkpoint(stage, signature, **metrics)
-    return store.read(spark, stage)
+    # read back WITH the build schema: an empty stage output (legitimate for
+    # e.g. a pure-relational corpus with nothing to extract) writes no data
+    # files, and a schema-less parquet read would fail to infer
+    return spark.read.schema(df.schema).parquet(store.path(stage))
