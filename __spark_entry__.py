@@ -679,6 +679,23 @@ def kg_context_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_edges_to_text(_kg_tables(spark)["triples"])
 
 
+def kg_code_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 code retriever: symbol search over the engine's own graph —
+    code-kind nodes (function/class/method/module) matching a name needle
+    (CodeRetriever's symbol lookup re-expressed as a pruned node scan)."""
+    nodes = _kg_tables(spark)["nodes"]
+    return nodes.where(
+        F.col("kind").isin("function", "class", "method", "module")
+        & F.col("name").contains(".fn_1_")
+    ).select("entity_id", "name", "kind")
+
+
+_KG_CODE_SEARCH_SQL = f"""
+SELECT entity_id, name, kind FROM read_parquet('{_KG_GOLDEN_DIR}/nodes.parquet')
+WHERE kind IN ('function', 'class', 'method', 'module') AND name LIKE '%.fn\\_1\\_%' ESCAPE '\\'
+"""
+
+
 def kg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 over the engine's OWN graph: embed a query with the same hash
     encoder the index stage used, brute-force cosine top-5 over the pipeline's
@@ -831,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": kg_nodes,
         "kg_context_lines": kg_context_lines,
         "kg_search": kg_search,
+        "kg_code_search": kg_code_search,
         "simhash_signatures": simhash_signatures,
         "embedding_dedup_pairs": embedding_dedup_pairs,
         "chunk_rows": chunk_rows,
@@ -871,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": _KG_NODES_SQL,
         "kg_context_lines": _KG_CONTEXT_SQL,
         "kg_search": _KG_SEARCH_SQL,
+        "kg_code_search": _KG_CODE_SEARCH_SQL,
         "chunk_rows": _CHUNK_ROWS_SQL,
         "relational_fk_edges": _RELATIONAL_FK_SQL,
     }
