@@ -175,6 +175,46 @@ def test_textstats(spark, docs):
     assert fp.count() == docs.count()
 
 
+def test_multimodal_real_decode(spark):
+    """BMP + WAV decode for real (pure Python, no PIL/ffmpeg): dimensions,
+    channel statistics, audio sample statistics."""
+    from cognee_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        extract_media_features,
+        make_bmp,
+        make_wav,
+        synthesize_media,
+    )
+
+    # kernel level
+    img = decode_bmp(make_bmp(7))
+    assert img["width"] == 16 and img["height"] == 12 and len(img["feature"]) == 8
+    assert all(0.0 <= img["feature"][j] <= 1.0 for j in range(6))  # channel stats
+    wav = decode_wav(make_wav(7))
+    assert wav["width"] is None and len(wav["feature"]) == 8
+    assert 0.0 < wav["feature"][1] <= wav["feature"][2] <= 1.0  # rms <= peak
+    assert abs(wav["feature"][0] - 400 / 8000) < 1e-9  # duration
+
+    # distributed: real decode over image+audio rows
+    media = synthesize_media(spark, n=30)
+    feats = extract_media_features(media.where(F.col("kind") != "video")).collect()
+    assert len(feats) == 20
+    assert all(len(f.feature) == 8 and f.n_bytes > 0 for f in feats)
+    assert all(f.width == 16 for f in feats if f.kind == "image")
+    # deterministic across runs
+    feats2 = extract_media_features(
+        synthesize_media(spark, n=30).where(F.col("kind") != "video")
+    ).collect()
+    assert {f.media_id: f.feature for f in feats} == {f.media_id: f.feature for f in feats2}
+
+    # compressed/unknown formats stay an honest NotImplementedError
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        extract_media_features(media.where(F.col("kind") == "video")).collect()
+
+
 def test_multimodal_plumbing(spark):
     from cognee_spark.operators.multimodal import (
         extract_media_features,
@@ -186,13 +226,5 @@ def test_multimodal_plumbing(spark):
     feats = extract_media_features(media, fake=True).collect()
     assert len(feats) == 30
     assert all(len(f.feature) == 8 and f.n_bytes > 0 for f in feats)
-    # deterministic across runs
-    feats2 = extract_media_features(synthesize_media(spark, n=30), fake=True).collect()
-    assert {f.media_id: f.checksum for f in feats} == {f.media_id: f.checksum for f in feats2}
     frames = sample_frames(media, every_n_bytes=256, fake=True)
     assert frames.count() > 0
-    # real decoder is explicitly stubbed
-    import pytest as _pytest
-
-    with _pytest.raises(Exception):
-        extract_media_features(media, fake=False).collect()
