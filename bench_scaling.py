@@ -50,7 +50,15 @@ n_files = {n_files}
 # both local[4] and local[16]): identical logical + physical plan, only the
 # core count differs — the same way a real N-vs-4N cluster comparison holds
 # the dataset partitioning constant.
-spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]")
+mode = {mode!r}
+if mode == "executors":
+    # REAL separate executor JVMs (inter-executor shuffle); `cpus` = executor
+    # count, 2 cores + 10g each — executor count is the only variable
+    spark = get_spark(app_name=f"scaling_{{cpus}}",
+                      master=f"local-cluster[{{cpus}},2,10240]",
+                      extra_conf={{"spark.executor.memory": "10g"}})
+else:
+    spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]")
 scratch = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
 root = tempfile.mkdtemp(prefix="cognee_scaling", dir=scratch)
 # warm the JVM/Python-worker pools so we measure dataflow, not process spawn
@@ -93,11 +101,12 @@ def prepare_input(n_files: int, input_dir: str) -> None:
     _run_code(PREPARE.format(repo=str(REPO), n_files=n_files, input_dir=input_dir))
 
 
-def run_at(cpus: int, n_files: int, input_dir: str, trials: int = 1) -> dict:
+def run_at(cpus: int, n_files: int, input_dir: str, trials: int = 1, mode: str = "threads") -> dict:
     """Best-of-N to cancel sandbox noise (virtio/steal spikes); each trial is
     a fresh JVM subprocess."""
     best: dict | None = None
-    code = RUNNER.format(repo=str(REPO), cpus=cpus, n_files=n_files, input_dir=input_dir)
+    code = RUNNER.format(repo=str(REPO), cpus=cpus, n_files=n_files,
+                         input_dir=input_dir, mode=mode)
     for _ in range(trials):
         result = json.loads(_run_code(code))
         if best is None or result["wall_sec"] < best["wall_sec"]:
@@ -114,6 +123,9 @@ def main() -> None:
     parser.add_argument("--trials", type=int, default=2)
     parser.add_argument("--input-dir", help="reuse an already-prepared repos table")
     parser.add_argument("--no-md", action="store_true", help="write only the JSON report")
+    parser.add_argument("--mode", choices=("threads", "executors"), default="threads",
+                        help="threads: local[N] task slots; executors: local-cluster "
+                             "with N real executor JVMs of 2 cores each")
     args = parser.parse_args()
 
     if args.input_dir:
@@ -126,8 +138,8 @@ def main() -> None:
         prepare_input(args.n_files, input_dir)
         cleanup = True
     try:
-        low = run_at(args.low, args.n_files, input_dir, trials=args.trials)
-        high = run_at(args.high, args.n_files, input_dir, trials=args.trials)
+        low = run_at(args.low, args.n_files, input_dir, trials=args.trials, mode=args.mode)
+        high = run_at(args.high, args.n_files, input_dir, trials=args.trials, mode=args.mode)
     finally:
         if cleanup:
             shutil.rmtree(input_dir, ignore_errors=True)
@@ -146,7 +158,8 @@ def main() -> None:
     bench_dir.mkdir(exist_ok=True)
     # raw report always persisted; BASELINE.md assembles the evidence across
     # (N, 4N) pairs
-    (bench_dir / f"scaling_{args.low}v{args.high}_{args.n_files}.json").write_text(
+    tag = "execs_" if args.mode == "executors" else ""
+    (bench_dir / f"scaling_{tag}{args.low}v{args.high}_{args.n_files}.json").write_text(
         json.dumps(report, indent=2)
     )
     if args.no_md:
