@@ -46,10 +46,10 @@ from cognee_spark.sources.corpus import build_repos_df
 
 cpus = {cpus}
 n_files = {n_files}
-# shuffle partitions FIXED across parallelism levels (64 = session default at
-# both local[4] and local[16]): identical logical + physical plan, only the
-# core count differs — the same way a real N-vs-4N cluster comparison holds
-# the dataset partitioning constant.
+# shuffle partitions FIXED across parallelism levels (256 matches the session
+# default floor): identical logical + physical plan, only the core count
+# differs — the same way a real N-vs-4N cluster comparison holds the dataset
+# partitioning constant.
 mode = {mode!r}
 if mode == "executors":
     # REAL separate executor JVMs (inter-executor shuffle); `cpus` = executor

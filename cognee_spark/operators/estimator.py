@@ -46,9 +46,17 @@ def estimate_dry_run(
     )
     text_docs = docs.where(~F.col("lang").isin(*CODE_LANGS))
     chunks = chunk_documents(text_docs, max_chunk_size=max_chunk_size)
+    # graph output = Σ max(MIN, ratio·chunk_size) computed EXACTLY in the same
+    # distributed pass (per-chunk max, then sum) — the mean-chunk shortcut is a
+    # lower bound on skewed chunk sizes (Jensen), which would under-estimate cost
+    per_chunk_graph_out = F.greatest(
+        F.lit(float(MIN_GRAPH_OUTPUT_TOKENS_PER_CHUNK)),
+        F.lit(GRAPH_OUTPUT_TOKEN_RATIO) * F.col("chunk_size").cast("double"),
+    )
     stats = chunks.agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.coalesce(F.sum("chunk_size"), F.lit(0)).alias("chunk_tokens"),
+        F.coalesce(F.sum(per_chunk_graph_out), F.lit(0.0)).alias("graph_output"),
     ).first()
     n_docs_row = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -58,7 +66,7 @@ def estimate_dry_run(
     n_chunks = int(stats.n_chunks)
     chunk_tokens = int(stats.chunk_tokens)
     graph_input = chunk_tokens + n_chunks * GRAPH_PROMPT_OVERHEAD_TOKENS
-    graph_output = sum_max_output(n_chunks, chunk_tokens)
+    graph_output = int(stats.graph_output)
     summary_input = chunk_tokens + n_chunks * SUMMARY_PROMPT_OVERHEAD_TOKENS
     summary_output = n_chunks * SUMMARY_OUTPUT_TOKENS_PER_CHUNK
 
@@ -80,11 +88,12 @@ def estimate_dry_run(
 
 
 def sum_max_output(n_chunks: int, chunk_tokens: int) -> int:
-    """Σ max(MIN_GRAPH_OUTPUT, ratio·chunk_tokens) approximated at the
-    aggregate level: the max binds per chunk, so the sum is bounded below by
-    n·MIN and above by n·MIN + ratio·Σtokens; we take the reference's
-    per-chunk formula applied to the mean chunk size (exact when chunks are
-    uniformly sized, upper-bounded otherwise)."""
+    """Mean-chunk approximation of Σ max(MIN_GRAPH_OUTPUT, ratio·chunk_size).
+
+    max(·) is convex, so applying it to the mean chunk size is a LOWER bound
+    on the per-chunk sum (exact only for uniformly sized chunks). Kept for
+    callers that have only the two aggregate numbers; ``estimate_dry_run``
+    computes the exact distributed sum instead."""
     if n_chunks == 0:
         return 0
     mean = chunk_tokens / n_chunks

@@ -92,12 +92,16 @@ def top_k_triplets(scored: DataFrame, k: int = 10) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
-def resolve_edges_to_text(triples: DataFrame) -> DataFrame:
-    """Context lines: 'subj --[pred]--> obj' (resolve_edges_to_text.py:78-96)."""
+def resolve_edges_to_text(triples: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Context lines: 'subj --[pred]--> obj' (resolve_edges_to_text.py:78-96).
+
+    ``keep`` carries passenger columns (e.g. the retrieval ``rank``) through,
+    so downstream prompt assembly can preserve retrieval order."""
     return triples.select(
+        *keep,
         F.concat(
             F.col("subj"), F.lit(" --["), F.col("pred"), F.lit("]--> "), F.col("obj")
-        ).alias("context_line")
+        ).alias("context_line"),
     )
 
 
@@ -117,10 +121,19 @@ def completion_prompt(
     prompts/graph_context_for_question.txt). The context frame is the
     already-top-k'd retrieval output — k rows, so the collect is bounded by
     construction; the LLM invocation itself is the pluggable serving seam.
+
+    Lines are presented in RETRIEVAL order (by the ``rank`` column when the
+    context frame carries one — the reference's graph-completion prompt keeps
+    the top-k score order, graph_completion_retriever.py); without a rank the
+    lines are sorted for determinism.
     """
-    lines = [r[0] for r in context.select(context_col).collect()]
+    if "rank" in context.columns:
+        rows = context.select("rank", context_col).orderBy("rank").collect()
+        lines = [r[1] for r in rows]
+    else:
+        lines = sorted(r[0] for r in context.select(context_col).collect())
     return COMPLETION_PROMPT_TEMPLATE.format(
-        question=question, context="\n---\n".join(sorted(lines))
+        question=question, context="\n---\n".join(lines)
     )
 
 
@@ -131,9 +144,10 @@ def graph_completion_context(
     k: int = 5,
 ) -> str:
     """End-to-end R1→R4→R7 context construction: score triplets against the
-    query's node distances, keep top-k, resolve to text, render the prompt."""
+    query's node distances, keep top-k, resolve to text, render the prompt.
+    The rank column rides along so the prompt preserves retrieval order."""
     top = top_k_triplets(score_triplets(triples, node_distances), k=k)
-    return completion_prompt(resolve_edges_to_text(top), question)
+    return completion_prompt(resolve_edges_to_text(top, keep=("rank",)), question)
 
 
 def bm25_score(

@@ -74,6 +74,25 @@ def _stamp(df: DataFrame, task: str) -> DataFrame:
     )
 
 
+def _ontology_fingerprint(ontology: DataFrame | None) -> str:
+    """Content fingerprint of the ontology frame for the stage signature:
+    re-running against the same store with a DIFFERENT ontology must
+    recompute, not reuse stale alias/triple tables. The ontology is
+    dictionary-sized by contract, so one tiny aggregate (count + order-free
+    xor of per-row hashes) is negligible next to any stage."""
+    if ontology is None:
+        return "0"
+    row_hash = F.conv(
+        F.substring(F.md5(F.to_json(F.struct(*sorted(ontology.columns)))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    agg = ontology.select(row_hash.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
+    ).first()
+    return f"{agg.n}x{agg.x}"
+
+
 def run_pipeline(
     spark: SparkSession,
     repos: DataFrame,
@@ -103,7 +122,7 @@ def run_pipeline(
     # change invalidates the whole run; deterministic ids keep that idempotent)
     sig_docs = f"{signature}|v2|dd={int(dedupe_documents)}"
     sig = (
-        f"{sig_docs}|mcs={max_chunk_size}|ont={int(ontology is not None)}"
+        f"{sig_docs}|mcs={max_chunk_size}|ont={_ontology_fingerprint(ontology)}"
         f"|nlx={nl_extractor if isinstance(nl_extractor, str) else 'custom'}"
     )
 

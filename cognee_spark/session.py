@@ -46,6 +46,29 @@ def _cores_of(master: str, default: int) -> int:
     return default
 
 
+def _system_mem_gb() -> int:
+    """Detected physical memory in GiB (0 if undetectable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return 0
+
+
+def _default_driver_mem(cores: int) -> str:
+    """~1.5g per task slot, floored at 8g, CAPPED at 40% of physical memory
+    so the derived heap can't oversubscribe (or fail to start) on hosts
+    smaller than the 128 GiB sandbox this was tuned on."""
+    derived = max(8, (3 * cores) // 2)
+    mem = _system_mem_gb()
+    if mem:
+        derived = max(2, min(derived, (mem * 2) // 5))
+    return f"{derived}g"
+
+
 def get_spark(
     app_name: str = "cognee_spark",
     master: str | None = None,
@@ -90,8 +113,7 @@ def get_spark(
         .config(
             "spark.driver.memory",
             os.environ.get(
-                "COGNEE_SPARK_DRIVER_MEM",
-                f"{max(8, (3 * _cores_of(master, cpus)) // 2)}g",
+                "COGNEE_SPARK_DRIVER_MEM", _default_driver_mem(_cores_of(master, cpus))
             ),
         )
         .config("spark.ui.enabled", "false")

@@ -71,6 +71,13 @@ class TableStore:
         except (FileNotFoundError, json.JSONDecodeError):
             return False
 
+    def read_checkpoint(self, stage: str) -> dict | None:
+        try:
+            with open(self._checkpoint_file(stage)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
     def checkpoints(self) -> list[dict]:
         out = []
         folder = os.path.join(self.root, "_checkpoints")
@@ -83,6 +90,68 @@ class TableStore:
     def invalidate(self, stage: str) -> None:
         try:
             os.remove(self._checkpoint_file(stage))
+        except FileNotFoundError:
+            pass
+
+    def rollback_to(self, stage: str) -> list[str]:
+        """Restore the store to the state right after ``stage`` committed.
+
+        Every stage committed AFTER it (by ledger timestamp) loses both its
+        table and its checkpoint row, so the next run recomputes from there —
+        the parquet-store analog of Iceberg's snapshot rollback
+        (the reference's ledger-before-write recovery path,
+        add_data_points.py:144-175). Returns the rolled-back stage names.
+        """
+        import shutil
+
+        target = self.read_checkpoint(stage)
+        if target is None:
+            raise ValueError(f"no committed checkpoint for stage {stage!r}")
+        rolled = []
+        for cp in self.checkpoints():
+            if cp["stage"] != stage and cp.get("ts", 0) > target["ts"]:
+                shutil.rmtree(self.path(cp["stage"]), ignore_errors=True)
+                self.invalidate(cp["stage"])
+                rolled.append(cp["stage"])
+        return rolled
+
+    # --- stage commit lock ------------------------------------------------
+
+    def _lock_file(self, stage: str) -> str:
+        return os.path.join(self.root, "_checkpoints", f"{stage}.lock")
+
+    def acquire_stage_lock(self, stage: str, poll_sec: float = 0.05) -> None:
+        """Same-host exclusive builder lock: concurrent double-submit of one
+        stage means exactly one process/thread builds while the others wait
+        and read the committed table back — the parquet-store analog of
+        Iceberg's optimistic-commit / on_conflict_do_nothing upsert
+        (upsert_nodes.py:62-77). A lock whose owner pid is dead is stolen
+        (crash between write and commit must not wedge resume)."""
+        path = self._lock_file(stage)
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        owner = int(f.read().strip() or "0")
+                    os.kill(owner, 0)  # raises if the owner is gone
+                except (ProcessLookupError, ValueError, FileNotFoundError):
+                    try:  # stale lock from a crashed builder — steal it
+                        os.remove(path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                except PermissionError:
+                    pass  # owner alive under another uid — keep waiting
+                time.sleep(poll_sec)
+
+    def release_stage_lock(self, stage: str) -> None:
+        try:
+            os.remove(self._lock_file(stage))
         except FileNotFoundError:
             pass
 
@@ -106,6 +175,7 @@ def run_stage(
     partition_by: list[str] | None = None,
     force: bool = False,
     count_rows: bool = True,
+    extra_metrics=None,
 ) -> DataFrame:
     """Execute one checkpointed stage: skip when committed, else build+commit.
 
@@ -120,25 +190,54 @@ def run_stage(
     observation metric is aggregated by the same tasks that write the files,
     so the commit costs exactly one job. ``count_rows=False`` additionally
     skips the observation for LEAF tables nothing reads back.
+
+    ``extra_metrics`` is an optional thunk invoked AFTER the write action —
+    kernels that accumulate side metrics during the job (e.g. the LLM
+    extractor's skipped-row counters) surface them into the checkpoint row.
+
+    Concurrency: double-submitting the same stage (two threads or two
+    processes over one store root) is safe — a builder lock makes one side
+    build+commit while the other waits and reads the committed table back.
     """
-    if not force and store.is_complete(stage, signature) and store.exists(stage):
+
+    def _read_committed() -> DataFrame:
+        # read with the schema persisted at commit time: a committed-but-empty
+        # stage table (only _SUCCESS, no data files — legitimate, e.g. a
+        # pure-relational corpus with nothing to extract) can't infer one
+        saved = (store.read_checkpoint(stage) or {}).get("schema")
+        if saved:
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(StructType.fromJson(json.loads(saved))).parquet(
+                store.path(stage)
+            )
         return store.read(spark, stage)
-    started = time.time()
-    # thread-local job description → Spark UI / event-log attribution of
-    # every job this stage submits (works under concurrent stage submission)
-    spark.sparkContext.setLocalProperty("spark.job.description", f"stage:{stage}")
-    df = build()
-    metrics: dict = {}
-    if count_rows:
-        obs = Observation(f"rows_{stage}")
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    store.write(df, stage, partition_by=partition_by)
-    metrics["wall_sec"] = round(time.time() - started, 3)
-    if count_rows:
-        metrics["rows"] = obs.get["rows"]
-        metrics["partitions"] = _count_part_files(store.path(stage))
-    store.checkpoint(stage, signature, **metrics)
-    # read back WITH the build schema: an empty stage output (legitimate for
-    # e.g. a pure-relational corpus with nothing to extract) writes no data
-    # files, and a schema-less parquet read would fail to infer
-    return spark.read.schema(df.schema).parquet(store.path(stage))
+
+    if not force and store.is_complete(stage, signature) and store.exists(stage):
+        return _read_committed()
+    store.acquire_stage_lock(stage)
+    try:
+        # a concurrent builder may have committed while we waited on the lock
+        if not force and store.is_complete(stage, signature) and store.exists(stage):
+            return _read_committed()
+        started = time.time()
+        # thread-local job description → Spark UI / event-log attribution of
+        # every job this stage submits (works under concurrent stage submission)
+        spark.sparkContext.setLocalProperty("spark.job.description", f"stage:{stage}")
+        df = build()
+        metrics: dict = {}
+        if count_rows:
+            obs = Observation(f"rows_{stage}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        store.write(df, stage, partition_by=partition_by)
+        metrics["wall_sec"] = round(time.time() - started, 3)
+        if count_rows:
+            metrics["rows"] = obs.get["rows"]
+            metrics["partitions"] = _count_part_files(store.path(stage))
+        if extra_metrics is not None:
+            metrics.update(extra_metrics())
+        metrics["schema"] = df.schema.json()
+        store.checkpoint(stage, signature, **metrics)
+        return spark.read.schema(df.schema).parquet(store.path(stage))
+    finally:
+        store.release_stage_lock(stage)

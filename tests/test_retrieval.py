@@ -94,3 +94,23 @@ def test_completion_prompt_assembly(spark):
     assert "\n---\n" in prompt
     # deterministic across invocations
     assert prompt == graph_completion_context(triples, dists, "who uses b?", k=2)
+
+
+def test_completion_prompt_preserves_retrieval_order(spark):
+    """Context lines follow the top-k rank, not lexicographic order (the
+    reference presents triplets in retrieval order)."""
+    from cognee_spark.operators.retrieval import graph_completion_context
+
+    triples = spark.createDataFrame(
+        [("zeta", "uses", "omega"), ("alpha", "calls", "beta")],
+        ["subj", "pred", "obj"],
+    )
+    # zeta/omega are the CLOSEST nodes → rank 1 despite sorting after alpha
+    dists = spark.createDataFrame(
+        [("zeta", 0.1), ("omega", 0.1), ("alpha", 0.9), ("beta", 0.9)],
+        ["name", "distance"],
+    )
+    prompt = graph_completion_context(triples, dists, "q?", k=2)
+    z = prompt.index("zeta --[uses]--> omega")
+    a = prompt.index("alpha --[calls]--> beta")
+    assert z < a
