@@ -662,6 +662,26 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kg_tables(spark)["triples"].select("subj", "pred", "obj")
 
 
+def kg_triples_llm_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E10: the SAME corpus through the LLM extraction path — batched JSON
+    requests, transient-fault retry, schema validation, dangling-edge filter
+    (operators/llm.py) against the deterministic serving double — must emit
+    triples identical to the golden oracle (and to kg_triples)."""
+    if "llm_tables" not in _KG_CACHE:
+        import tempfile
+
+        from cognee_spark.pipeline import run_pipeline
+        from cognee_spark.sources.corpus import build_repos_df
+
+        root = tempfile.mkdtemp(prefix="cognee_kg_llm")
+        repos = build_repos_df(spark, _KG_FILES)
+        _KG_CACHE["llm_tables"] = run_pipeline(
+            spark, repos, root, f"synthetic:{_KG_FILES}", compute_metrics=False,
+            with_summaries=False, with_index=False, nl_extractor="llm_mock",
+        )["tables"]
+    return _KG_CACHE["llm_tables"]["triples"].select("subj", "pred", "obj")
+
+
 def kg_edge_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kg_tables(spark)["edge_type_histogram"].select(
         "relationship_name", "number_of_edges"
@@ -796,8 +816,8 @@ bits AS (
   FROM e, planes pl
 ),
 banded AS (
-  SELECT vec_id, (p // 4)::VARCHAR || ':' || string_agg(bit, '' ORDER BY p) AS band
-  FROM bits GROUP BY vec_id, p // 4
+  SELECT vec_id, (p // 8)::VARCHAR || ':' || string_agg(bit, '' ORDER BY p) AS band
+  FROM bits GROUP BY vec_id, p // 8
 ),
 cand AS (
   SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
@@ -844,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_summaries": doc_summaries,
         "doc_titles": doc_titles,
         "kg_triples": kg_triples,
+        "kg_triples_llm_seam": kg_triples_llm_seam,
         "kg_edge_type_histogram": kg_edge_type_histogram,
         "kg_nodes": kg_nodes,
         "kg_context_lines": kg_context_lines,
@@ -885,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _SIMHASH_SQL,
         "embedding_dedup_pairs": _EMBED_DEDUP_SQL,
         "kg_triples": _KG_TRIPLES_SQL,
+        "kg_triples_llm_seam": _KG_TRIPLES_SQL,
         "kg_edge_type_histogram": _KG_HISTOGRAM_SQL,
         "kg_nodes": _KG_NODES_SQL,
         "kg_context_lines": _KG_CONTEXT_SQL,

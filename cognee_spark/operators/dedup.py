@@ -172,8 +172,17 @@ def ngram_jaccard_pairs(
     )
 
 
+# 48 planes banded as 6 bands × 8 sign bits. Band width is the blocking
+# selectivity lever: a random (unrelated) pair collides on a band with
+# probability ~2^-bits, so 4-bit bands admit ~1/16 of ALL pairs as candidates
+# (measured 1.08M candidate pairs from 2,000 structured vectors — quadratic,
+# the exact failure the blocking exists to prevent), while 8-bit bands admit
+# ~1/256. Recall at cosine exactly 0.95: per-bit agreement 0.899 → band match
+# 0.899^8 = 0.43 → miss (1-0.43)^6 ≈ 3.6e-2; at 0.99 miss ≈ 8.5e-4; real
+# near-dups (≥0.99) are essentially never missed. At larger corpus sizes,
+# scale bits-per-band ~log2(n) (add planes) to keep Σ bucket² subquadratic.
 VEC_LSH_PLANES = 48
-VEC_LSH_BANDS = 12  # 4 sign bits per band
+VEC_LSH_BANDS = 6
 
 
 def hyperplanes(dim: int, n_planes: int = VEC_LSH_PLANES) -> list[list[float]]:
@@ -197,55 +206,108 @@ def hyperplanes(dim: int, n_planes: int = VEC_LSH_PLANES) -> list[list[float]]:
     ]
 
 
+# below this row count the one-time ~10 s Janino compilation of the unrolled
+# dot-product expressions costs more than interpreted evaluation of the whole
+# table — small interactive corpora take the instant-compile path instead
+UNROLL_MIN_ROWS = 50_000
+
+
 def embedding_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int | None = None,
+    unroll: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold via hyperplane-LSH blocking.
 
     Sign-bit signature over VEC_LSH_PLANES deterministic hyperplanes, banded
-    into VEC_LSH_BANDS buckets; only pairs sharing a band bucket are verified
-    with exact cosine. At threshold 0.95 the per-pair miss probability is
-    ~(1 - 0.66)^12 ≈ 2e-6; the round-1 all-pairs crossJoin is gone — the
-    self-join is keyed on (band, key), so candidate volume is Σ bucket²
-    instead of n². Everything (planes, dots, signs) is whole-stage codegen.
+    into VEC_LSH_BANDS buckets (recall/selectivity math at the constants
+    above); only pairs sharing a band bucket are verified with exact cosine.
+    The round-1 all-pairs crossJoin is gone — the self-join is keyed on
+    (band, key), so candidate volume is Σ bucket² instead of n².
+
+    Two bit-identical signature paths, gated on table size (``unroll=None``
+    probes a parquet-metadata count):
+
+    - unroll=True (the 100 TB path): the 48 dot products are UNROLLED literal
+      expressions — seconds of one-time Janino compilation, then whole-stage
+      codegen (~µs/row). Plan compilation is per query, not per row, so it
+      amortizes at any real table size; no materialization barrier, because
+      persisting a 100 TB signature projection is worse than recomputing the
+      codegen'd dots on each consumer's scan.
+    - unroll=False (small interactive corpora): the planes ride as DATA — a
+      broadcast one-row frame crossJoined in — instead of 48×64 literal
+      expressions, so the plan tree stays tiny (the literal form costs ~4.5 s
+      of per-query driver analysis/constant-folding, measured; py4j-building
+      the 3072 F.lit columns costs another ~3.6 s). The signature evaluates
+      interpreted (~ms/row) behind a repartition + eager localCheckpoint
+      barrier so it runs once, in parallel, and is never re-inlined into the
+      four downstream consumers; the verify sides are broadcast (bounded by
+      the size gate). The per-row fold runs in the SAME left-to-right order
+      as the unrolled form, so the sign bits — and therefore the emitted
+      pairs — are identical.
     """
     if dim is None:
         dim = embeddings.select(F.size(vec_col).alias("d")).first().d
+    if unroll is None:
+        # parquet-metadata count: cheap at any size (no column decode)
+        unroll = embeddings.count() >= UNROLL_MIN_ROWS
     planes = hyperplanes(dim)
-
-    # the 48 dot products are UNROLLED literal expressions on purpose: a
-    # higher-order-function form (transform over a 2-D literal) compiles
-    # instantly but executes interpreted AND re-inlines the signature into
-    # every band key (measured 3x slower end-to-end); the unrolled form costs
-    # ~10 s of one-time Janino compilation and then runs in whole-stage
-    # codegen — the right trade at any real table size, since plan
-    # compilation is per query, not per row
-    def _dot_lit(vec, plane):
-        return F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    v = F.col(vec_col).cast("array<double>")
-    bits = [F.when(_dot_lit(v, p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes]
     per_band = VEC_LSH_PLANES // VEC_LSH_BANDS
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":", F.lit(b), F.concat(*bits[b * per_band : (b + 1) * per_band])
-            )
-            for b in range(VEC_LSH_BANDS)
-        ]
-    )
+    v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    base = embeddings.select(
-        F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"), band_keys.alias("bands")
-    )
+    small = not unroll
+
+    if unroll:
+
+        def _dot_lit(vec, plane):
+            return F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        bits = [F.when(_dot_lit(v, p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes]
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    ":", F.lit(b), F.concat(*bits[b * per_band : (b + 1) * per_band])
+                )
+                for b in range(VEC_LSH_BANDS)
+            ]
+        )
+        base = embeddings.select(
+            F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"), band_keys.alias("bands")
+        )
+    else:
+        spark = embeddings.sparkSession
+        planes_df = spark.createDataFrame([(planes,)], "planes: array<array<double>>")
+        bits = F.transform(
+            F.col("planes"),
+            lambda p: F.when(
+                F.aggregate(F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        )
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(VEC_LSH_BANDS - 1)),
+            lambda b: F.concat_ws(
+                ":",
+                b.cast("string"),
+                F.array_join(F.slice(F.col("bits"), b * per_band + 1, F.lit(per_band)), ""),
+            ),
+        )
+        cores = spark.sparkContext.defaultParallelism
+        base = (
+            embeddings.repartition(cores)
+            .crossJoin(F.broadcast(planes_df))
+            .select(F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"), bits.alias("bits"))
+            .select("id", "v", "n", bands.alias("bands"))
+            .localCheckpoint(eager=True)
+        )
     banded = base.select("id", F.explode("bands").alias("band"))
     cand = (
         banded.alias("x")
@@ -256,6 +318,8 @@ def embedding_duplicates(
     )
     va = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
     vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    if small:  # bounded by the size gate → broadcast beats shuffling the pairs
+        va, vb = F.broadcast(va), F.broadcast(vb)
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

@@ -293,11 +293,23 @@ def _widen(src: DataFrame) -> DataFrame:
     cluster size. One round-robin repartition (no key, no skew) unlocks full
     parallelism; 2x cores keeps content-length variance from turning into
     whole-stage stragglers and overlaps Python parse with JVM Arrow encode.
-    Skipped when the scan is already wide enough."""
+    Skipped when the scan is already wide enough.
+
+    Width is probed from the scan's FILE LISTING (``inputFiles`` — a metadata
+    walk on the already-analyzed plan), never ``rdd.getNumPartitions()``: the
+    RDD conversion forces plan re-analysis + split planning per invocation,
+    which at a 100 TB scan is a driver-side stall before any task runs. Files
+    under-count splits (maxPartitionBytes can split one file), so this can
+    only over-widen — an extra round-robin shuffle of a table that was
+    already wide enough, never a narrow stage."""
     cores = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < 2 * cores:
-        return src.repartition(2 * cores)
-    return src
+    try:
+        n_files = len(src.inputFiles())
+    except Exception:  # non-file source (e.g. in-memory test frames)
+        n_files = 0
+    if n_files >= 2 * cores:
+        return src
+    return src.repartition(2 * cores)
 
 
 def extract_from_chunks(chunks: DataFrame) -> DataFrame:

@@ -126,10 +126,12 @@ def run_pipeline(
         f"|nlx={nl_extractor if isinstance(nl_extractor, str) else 'custom'}"
     )
 
-    def stage(name, build, *, signature=sig, partition_by=None, count_rows=True):
+    def stage(name, build, *, signature=sig, partition_by=None, count_rows=True,
+              extra_metrics=None):
         return run_stage(
             store, spark, name, signature, build,
             partition_by=partition_by, force=force, count_rows=count_rows,
+            extra_metrics=extra_metrics,
         )
 
     # S1-S4 ingest/identify/classify: content identity via sha256 (the per-row
@@ -198,15 +200,21 @@ def run_pipeline(
         # E1/E6/E8 extraction — one tall table, parsed once. The code and NL
         # branches are independent inputs of one union write job, so Spark
         # already runs their stages concurrently inside that job.
-        def build_extractions() -> DataFrame:
-            from cognee_spark.registry import NL_EXTRACTORS, resolve
+        from cognee_spark.registry import NL_EXTRACTORS, resolve
 
-            extract_nl_stage = resolve(NL_EXTRACTORS, nl_extractor)
+        extract_nl_stage = resolve(NL_EXTRACTORS, nl_extractor)
+
+        def build_extractions() -> DataFrame:
             code = extract_from_files(documents)
             nl = extract_nl_stage(chunks.where(~F.col("lang").isin(*CODE_LANGS)))
             return _stamp(code.unionByName(nl), "extract")
 
-        extractions = stage("extractions", build_extractions, partition_by=["mode"])
+        extractions = stage(
+            "extractions", build_extractions, partition_by=["mode"],
+            # kernels with side counters (e.g. the LLM extractor's skipped-row
+            # accumulators) surface them into the stage checkpoint row
+            extra_metrics=getattr(extract_nl_stage, "stage_metrics", None),
+        )
         mentions = mentions_of(extractions)
         raw_edges = raw_edges_of(extractions)
 

@@ -25,9 +25,22 @@ from cognee_spark.operators.chunking import chunk_documents, chunk_rows_document
 from cognee_spark.operators.enrich import summarize_chunks
 from cognee_spark.operators.extraction import extract_from_chunks
 
+from cognee_spark.operators.llm import (
+    LLMExtractor,
+    TransientFaultTransport,
+    reference_transport,
+)
+
 NL_EXTRACTORS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "default": extract_from_chunks,          # single-pass (extract_graph_from_data)
     "cascade": cascade_extract_from_chunks,  # 3-phase v2 (extract_graph_from_data_v2)
+    # E10 gateway path: full batching/retry/validation machinery against the
+    # deterministic serving double, with transient faults injected so the
+    # retry path runs in production shape (production = same class, HTTP
+    # transport)
+    "llm_mock": LLMExtractor(
+        TransientFaultTransport(reference_transport, every_n=3), batch_size=32
+    ),
 }
 
 CHUNKERS: dict[str, Callable[..., DataFrame]] = {

@@ -157,6 +157,33 @@ def test_embedding_duplicates_lsh_recall(spark, embeddings):
     assert embedding_duplicates(embeddings, threshold=0.95, dim=64).count() == 0
 
 
+def test_embedding_duplicates_unroll_paths_identical(spark):
+    """The size-gated signature paths — unrolled whole-stage-codegen (the
+    100 TB path) and interpreted HOF (small interactive corpora) — fold the
+    same dot products in the same order, so pairs AND cosines are identical."""
+    import random
+
+    from cognee_spark.operators.dedup import embedding_duplicates
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(30):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, v))
+        rows.append((1000 + i, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    unrolled = {
+        (r.a, r.b, r.cosine)
+        for r in embedding_duplicates(df, threshold=0.9, dim=64, unroll=True).collect()
+    }
+    interp = {
+        (r.a, r.b, r.cosine)
+        for r in embedding_duplicates(df, threshold=0.9, dim=64, unroll=False).collect()
+    }
+    assert len(unrolled) >= 25
+    assert unrolled == interp
+
+
 def test_textstats(spark, docs):
     from cognee_spark.operators.textstats import (
         fingerprints,
