@@ -833,6 +833,229 @@ WHERE round(list_dot_product(ea.v, eb.v)
 """
 
 
+# --- cascade extraction (E3) over the synthetic corpus ----------------------------------
+#
+# The driver's documents table is word-salad (no relation statements), so the
+# cascade grammar runs over the md files of the deterministic synthetic
+# corpus; the oracle REPLAYS the whole 3-phase cascade in SQL (regex
+# statement extraction + node-set constraint) over the same md table,
+# materialized once as parquet.
+
+_CASCADE_MD_DIR = "/tmp/cognee_cascade_md"
+
+
+def _ensure_cascade_md_parquet() -> str:
+    import os
+
+    import pandas as pd
+
+    from cognee_spark.sources.corpus import file_spec, render
+
+    marker = os.path.join(_CASCADE_MD_DIR, f"_DONE_{_KG_FILES}")
+    if os.path.exists(marker):
+        return _CASCADE_MD_DIR
+    os.makedirs(_CASCADE_MD_DIR, exist_ok=True)
+    rows = []
+    for i in range(_KG_FILES):
+        s = file_spec(i, _KG_FILES)
+        if s.lang == "md":
+            rows.append({"doc_id": f"{s.repo}:{s.path}", "text": render(s)})
+    pd.DataFrame(rows).to_parquet(os.path.join(_CASCADE_MD_DIR, "md.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return _CASCADE_MD_DIR
+
+
+def cascade_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 cascade extraction, n_rounds=1 so the phase-3 node-set constraint
+    actually bites (round 1 sees only CamelCase/Capitalized surface forms;
+    statements whose flanks are lowercase/typo variants must be excluded)."""
+    from cognee_spark.operators.cascade import cascade_extract_from_chunks
+    from cognee_spark.sources.corpus import build_repos_df
+
+    repos = build_repos_df(spark, _KG_FILES).where(F.col("lang") == "md")
+    chunks = repos.select(
+        F.concat_ws(":", "repo", "path").alias("chunk_id"),
+        F.col("content").alias("text"),
+        F.sha2("content", 256).alias("content_sha"),
+        "repo", "path", "lang",
+    )
+    ext = cascade_extract_from_chunks(chunks, n_rounds=1)
+    return ext.where(F.col("row_kind") == "edge").select(
+        F.col("chunk_id").alias("doc_id"),
+        F.col("name").alias("subj"),
+        F.col("rel").alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+
+
+_CASCADE_STMT = (
+    r"([A-Za-z][\w'' -]*?)\s+(uses|depends on|calls into|extends|implements|replaces)"
+    r"\s+([A-Za-z][\w'' -]*?)[.!?]"
+)
+_CASCADE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_CASCADE_STMT}', 1) AS subs,
+         regexp_extract_all(text, '{_CASCADE_STMT}', 2) AS rels,
+         regexp_extract_all(text, '{_CASCADE_STMT}', 3) AS objs,
+         regexp_extract_all(text, '\\b[A-Z][a-z0-9]+(?:[A-Z][a-z0-9]+)+\\b')
+           || regexp_extract_all(text, '\\b[A-Z][a-z0-9]+(?: [A-Z][a-z0-9]+)+\\b') AS nodes
+  FROM read_parquet('{_CASCADE_MD_DIR}/md.parquet')
+)
+SELECT doc_id,
+       trim(subs[i]) AS subj,
+       replace(rels[i], ' ', '_') AS pred,
+       trim(objs[i]) AS obj
+FROM s, unnest(generate_series(1, len(subs))) AS t(i)
+WHERE list_contains(nodes, trim(subs[i])) AND list_contains(nodes, trim(objs[i]))
+"""
+
+
+def kg_triplet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 triplet scoring + top-k over the engine's own graph: node distances
+    derived deterministically from md5(name), score = Σ (2-w)·distance,
+    lowest-first top-20 with rank (CogneeGraph.py:470-540 semantics)."""
+    from cognee_spark.operators.retrieval import score_triplets, top_k_triplets
+
+    triples = _kg_tables(spark)["triples"].select("subj", "pred", "obj")
+    names = (
+        triples.select(F.col("subj").alias("name"))
+        .union(triples.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    dist = names.select(
+        "name",
+        F.round(
+            F.conv(F.substring(F.md5("name"), 1, 8), 16, 10).cast("double")
+            / F.lit(float(0xFFFFFFFF)),
+            9,
+        ).alias("distance"),
+    )
+    top = top_k_triplets(score_triplets(triples, dist), k=20)
+    return top.select("rank", "subj", "pred", "obj", "score")
+
+
+_TRIPLET_TOPK_SQL = f"""
+WITH t AS (SELECT subj, pred, obj FROM read_parquet('{_KG_GOLDEN_DIR}/triples.parquet')),
+n AS (SELECT DISTINCT name FROM (SELECT subj AS name FROM t UNION ALL SELECT obj FROM t)),
+d AS (SELECT name,
+             round(('0x' || substr(md5(name), 1, 8))::UBIGINT / 4294967295.0, 9) AS distance
+      FROM n),
+scored AS (
+  SELECT t.subj, t.pred, t.obj, round(1.0 * (ds.distance + do_.distance), 9) AS score
+  FROM t JOIN d ds ON t.subj = ds.name JOIN d do_ ON t.obj = do_.name
+)
+SELECT rank, subj, pred, obj, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score, subj, pred, obj) AS rank FROM scored
+) WHERE rank <= 20
+"""
+
+
+def minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full minhash→verify dedup ladder: min-shingle bucket candidates,
+    exact word-3-gram Jaccard verification (candidates only, never n²)."""
+    from cognee_spark.operators.dedup import ngram_jaccard_pairs, shingle_min_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = shingle_min_signatures(docs)
+    a = sigs.select("min_shingle", F.col("doc_id").alias("a"))
+    b = sigs.select("min_shingle", F.col("doc_id").alias("b"))
+    cands = a.join(b, "min_shingle").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    out = ngram_jaccard_pairs(docs, cands, n=3, threshold=0.01)
+    return out.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+
+
+_MINHASH_JACCARD_SQL = r"""
+WITH sigs AS (
+  SELECT doc_id,
+         list_min(list_transform(generate_series(1, greatest(length(prefix) - 7, 1)),
+                  i -> md5(substr(prefix, CAST(i AS INT), 8)))) AS min_shingle
+  FROM (SELECT doc_id, substr(text, 1, 256) AS prefix FROM documents)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sigs x JOIN sigs y ON x.min_shingle = y.min_shingle AND x.doc_id < y.doc_id
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+)
+SELECT a, b, round(j, 9) AS jaccard FROM (
+  SELECT a, b,
+         len(list_intersect(ga.grams, gb.grams))
+           / CAST(len(list_distinct(ga.grams || gb.grams)) AS DOUBLE) AS j
+  FROM cand JOIN g ga ON cand.a = ga.doc_id JOIN g gb ON cand.b = gb.doc_id
+) WHERE j >= 0.01
+"""
+
+
+def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with FIXED deterministic centroids: assign every vector to
+    its argmax-dot cell, probe each query's nprobe=3 nearest of 8 cells,
+    exact cosine top-5 inside the probed cells. Integer output (ranks); the
+    oracle replays assignment + probing + ranking, so the scale path's
+    pruning machinery — not just the final scores — is what's checked."""
+    from cognee_spark.operators.similarity_search import (
+        deterministic_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(8, 64)
+    assigned = ivf_assign(emb, cents)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return ivf_topk(assigned, cents, queries, k=5, nprobe=3).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
+_IVF_PROBE_SQL = """
+WITH cents AS (
+  SELECT c, list((('0x' || substr(md5('ivf' || c || '|' || j), 1, 8))::UBIGINT
+                  / 4294967295.0) * 2 - 1 ORDER BY j) AS cent
+  FROM generate_series(0, 7) g1(c), generate_series(0, 63) g2(j)
+  GROUP BY c
+),
+assigned AS (
+  SELECT vec_id, v, list_indexof(scores, list_max(scores)) AS cell
+  FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+           (SELECT list(list_dot_product(e.embedding::DOUBLE[], cent) ORDER BY c)
+            FROM cents) AS scores
+    FROM embeddings e
+  )
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 3),
+qprobe AS (
+  -- cells are 1-based (list_indexof / array_position); c is the 0-based
+  -- centroid index
+  SELECT query_id, qv, c + 1 AS cell FROM (
+    SELECT q.query_id, q.qv, cents.c,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_dot_product(q.qv, cents.cent) DESC, cents.c) AS rn
+    FROM q, cents
+  ) WHERE rn <= 3
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT p.query_id, a.vec_id,
+         row_number() OVER (PARTITION BY p.query_id
+             ORDER BY list_dot_product(p.qv, a.v)
+                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv))) DESC,
+                      a.vec_id) AS rank
+  FROM qprobe p JOIN assigned a ON a.cell = p.cell
+) WHERE rank <= 5
+"""
+
+
 # --- contract ---------------------------------------------------------------------------
 
 
@@ -874,14 +1097,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_pairs": embedding_dedup_pairs,
         "chunk_rows": chunk_rows,
         "relational_fk_edges": relational_fk_edges,
+        "cascade_triples": cascade_triples,
+        "kg_triplet_topk": kg_triplet_topk,
+        "minhash_jaccard_pairs": minhash_jaccard_pairs,
+        "ivf_probe_topk": ivf_probe_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     # the kg_* oracles read the pure-Python golden implementation's output;
     # materialize it (idempotent, pure Python, no Spark) before handing the
-    # SQL to the driver
+    # SQL to the driver; same for the cascade md corpus table
     _ensure_golden_parquet()
+    _ensure_cascade_md_parquet()
     return {
         "flagship_mention_topk": _FLAGSHIP_SQL,
         "ingest_identity": _INGEST_SQL,
@@ -914,4 +1142,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_code_search": _KG_CODE_SEARCH_SQL,
         "chunk_rows": _CHUNK_ROWS_SQL,
         "relational_fk_edges": _RELATIONAL_FK_SQL,
+        "cascade_triples": _CASCADE_SQL,
+        "kg_triplet_topk": _TRIPLET_TOPK_SQL,
+        "minhash_jaccard_pairs": _MINHASH_JACCARD_SQL,
+        "ivf_probe_topk": _IVF_PROBE_SQL,
     }

@@ -119,6 +119,26 @@ def train_centroids(
     return centroids
 
 
+def deterministic_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Fixed md5-derived coarse centroids (no training): component[c][j] =
+    md5("ivf{c}|{j}") scaled to [-1, 1]. Lets the assign/probe machinery be
+    exercised — and replayed bit-for-bit by a DuckDB oracle — without
+    requiring SQL to replay Lloyd iterations; production trains with
+    ``train_centroids`` instead."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"ivf{c}|{j}".encode()).hexdigest()[:8], 16)
+            / 0xFFFFFFFF
+            * 2.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for c in range(n_cells)
+    ]
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[list[float]],
