@@ -150,6 +150,145 @@ def graph_completion_context(
     return completion_prompt(resolve_edges_to_text(top, keep=("rank",)), question)
 
 
+# --- R7 variants: chain-of-thought + question decomposition ---------------------
+#
+# The reference's CoT retriever (graph_completion_cot_retriever.py:181-213)
+# loops: completion → validation reasoning → ONE follow-up question → fetch
+# that question's triplets → MERGE (dedup) into the state → re-resolve
+# context → re-complete. The decomposition retriever
+# (graph_completion_decomposition_retriever.py:88-190) first splits the query
+# into subqueries, fetches each subquery's triplets, merges deduplicated
+# edges, then answers. All loops are deterministic; only the inner LLM calls
+# are a seam — here a callable ``llm(kind, prompt) -> str`` with kinds
+# ("completion" | "validation" | "followup" | "decompose"), mirroring the
+# reference's distinct prompt templates per call site.
+
+COT_VALIDATION_PROMPT_TEMPLATE = (
+    "<QUESTION>\n`{query}`\n</QUESTION>\n\n"
+    "<ANSWER>\n`{answer}`\n</ANSWER>\n\n"
+    "<CONTEXT>\n`{context}`\n</CONTEXT>"
+)
+
+COT_FOLLOWUP_PROMPT_TEMPLATE = (
+    "Based on the following, ask exactly one question that would directly "
+    "resolve the gap identified in the validation reasoning and allow a "
+    "valid answer.\n\n"
+    "<QUERY>\n`{query}`\n</QUERY>\n\n"
+    "<ANSWER>\n`{answer}`\n</ANSWER>\n\n"
+    "<REASONING>\n`{reasoning}`\n</REASONING>"
+)
+
+
+def _merged_top_k(triples, distances, k):
+    top = top_k_triplets(score_triplets(triples, distances), k=k)
+    return top.select("subj", "pred", "obj", "score", "rank")
+
+
+def cot_completion_rounds(
+    triples: DataFrame,
+    distances_of,
+    question: str,
+    llm,
+    k: int = 5,
+    max_iter: int = 1,
+) -> dict:
+    """Chain-of-thought graph completion (cot_retriever._run_cot_completion).
+
+    ``distances_of(question) -> (name, distance) DataFrame`` is the
+    query-embedding seam (the reference embeds the query and scores node
+    distances); ``llm(kind, prompt)`` the generation seam. Returns the final
+    answer, the rank-ordered context lines, the merged triplet frame, and the
+    full prompt transcript (each round's validation/follow-up/completion
+    prompts in order — pinned by tests against the reference template flow).
+    """
+    state = _merged_top_k(triples, distances_of(question), k)
+    transcript: list[tuple[str, str]] = []
+
+    def complete():
+        ctx = resolve_edges_to_text(state.orderBy("score", "subj", "pred", "obj"),
+                                    keep=())
+        lines = [r.context_line for r in ctx.collect()]
+        prompt = COMPLETION_PROMPT_TEMPLATE.format(
+            question=question, context="\n---\n".join(lines)
+        )
+        transcript.append(("completion", prompt))
+        return llm("completion", prompt), lines
+
+    answer, context_lines = complete()
+    for _ in range(max_iter):
+        validation_prompt = COT_VALIDATION_PROMPT_TEMPLATE.format(
+            query=question, answer=answer, context="\n---\n".join(context_lines)
+        )
+        transcript.append(("validation", validation_prompt))
+        reasoning = llm("validation", validation_prompt)
+        followup_prompt = COT_FOLLOWUP_PROMPT_TEMPLATE.format(
+            query=question, answer=answer, reasoning=reasoning
+        )
+        transcript.append(("followup", followup_prompt))
+        followup_question = llm("followup", followup_prompt)
+        new = _merged_top_k(triples, distances_of(followup_question), k)
+        # merge_deduplicated_edges semantics: union, one row per (s, p, o),
+        # keeping the best (lowest) score/rank for re-ordering
+        state = (
+            state.unionByName(new)
+            .groupBy("subj", "pred", "obj")
+            .agg(F.min("score").alias("score"), F.min("rank").alias("rank"))
+        )
+        answer, context_lines = complete()
+    return {
+        "answer": answer,
+        "context_lines": context_lines,
+        "triplets": state,
+        "transcript": transcript,
+    }
+
+
+def decomposition_completion(
+    triples: DataFrame,
+    distances_of,
+    question: str,
+    llm,
+    k: int = 5,
+) -> dict:
+    """Question-decomposition graph completion
+    (graph_completion_decomposition_retriever.py, ANSWER_PER_SUBQUERY mode):
+    decompose → per-subquery top-k → merge deduplicated edges → one answer
+    per subquery over the merged context + the aggregate answer. The
+    decomposition LLM call falls back to the original query on failure
+    (reference _decompose_query fallback)."""
+    try:
+        raw = llm("decompose", question)
+        subqueries = [q.strip() for q in raw.splitlines() if q.strip()] or [question]
+    except Exception:
+        subqueries = [question]
+    per_sub = {q: _merged_top_k(triples, distances_of(q), k) for q in subqueries}
+    merged = None
+    for frame in per_sub.values():
+        merged = frame if merged is None else merged.unionByName(frame)
+    merged = (
+        merged.groupBy("subj", "pred", "obj")
+        .agg(F.min("score").alias("score"), F.min("rank").alias("rank"))
+    )
+    ctx = resolve_edges_to_text(merged.orderBy("score", "subj", "pred", "obj"))
+    lines = [r.context_line for r in ctx.collect()]
+    answers = {}
+    for q in subqueries:
+        prompt = COMPLETION_PROMPT_TEMPLATE.format(
+            question=q, context="\n---\n".join(lines)
+        )
+        answers[q] = llm("completion", prompt)
+    final_prompt = COMPLETION_PROMPT_TEMPLATE.format(
+        question=question, context="\n---\n".join(lines)
+    )
+    return {
+        "subqueries": subqueries,
+        "answers": answers,
+        "answer": llm("completion", final_prompt),
+        "context_lines": lines,
+        "triplets": merged,
+    }
+
+
 def bm25_score(
     docs: DataFrame,
     query_terms: list[str],

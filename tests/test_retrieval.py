@@ -114,3 +114,89 @@ def test_completion_prompt_preserves_retrieval_order(spark):
     z = prompt.index("zeta --[uses]--> omega")
     a = prompt.index("alpha --[calls]--> beta")
     assert z < a
+
+
+# --- R7 variants: CoT + decomposition (reference template flow) -------------
+
+
+def _question_distances(spark, triples):
+    """Deterministic query-embedding stand-in: distance 0 for nodes named in
+    the question, 1 otherwise (the seam the reference fills with embeddings)."""
+    names = [
+        r.name
+        for r in triples.select(F.col("subj").alias("name"))
+        .union(triples.select("obj"))
+        .distinct()
+        .collect()
+    ]
+
+    def distances_of(question):
+        toks = set(question.lower().replace("?", "").split())
+        return spark.createDataFrame(
+            [(n, 0.0 if n in toks else 1.0) for n in names], ["name", "distance"]
+        )
+
+    return distances_of
+
+
+def test_cot_rounds_follow_reference_template_flow(spark):
+    """One CoT round = completion → validation → follow-up → merged re-fetch
+    → completion, with each prompt carrying the reference template fields
+    (cot_validation_user_prompt.txt / cot_followup_user_prompt.txt)."""
+    from cognee_spark.operators.retrieval import cot_completion_rounds
+
+    triples = spark.createDataFrame(
+        [("a", "uses", "b"), ("c", "uses", "d"), ("x", "uses", "y")],
+        ["subj", "pred", "obj"],
+    )
+    distances_of = _question_distances(spark, triples)
+
+    def llm(kind, prompt):
+        if kind == "completion":
+            return "partial answer"
+        if kind == "validation":
+            return "the context lacks c's dependency"
+        return "what does c use?"  # follow-up steers retrieval to node c
+
+    out = cot_completion_rounds(
+        triples, distances_of, "what does a use?", llm, k=1, max_iter=1
+    )
+    kinds = [k for k, _ in out["transcript"]]
+    assert kinds == ["completion", "validation", "followup", "completion"]
+    validation = dict(out["transcript"])["validation"]
+    assert "<QUESTION>" in validation and "<ANSWER>" in validation and "<CONTEXT>" in validation
+    followup = dict(out["transcript"])["followup"]
+    assert "<REASONING>" in followup and "the context lacks" in followup
+    # round 1 retrieved a--b; the follow-up fetch merged c--d without dupes
+    rows = {(r.subj, r.obj) for r in out["triplets"].collect()}
+    assert rows == {("a", "b"), ("c", "d")}
+    assert "c --[uses]--> d" in "\n".join(out["context_lines"])
+    # deterministic across invocations
+    again = cot_completion_rounds(
+        triples, distances_of, "what does a use?", llm, k=1, max_iter=1
+    )
+    assert again["context_lines"] == out["context_lines"]
+
+
+def test_decomposition_merges_subquery_edges(spark):
+    from cognee_spark.operators.retrieval import decomposition_completion
+
+    triples = spark.createDataFrame(
+        [("a", "uses", "b"), ("c", "uses", "d"), ("x", "uses", "y")],
+        ["subj", "pred", "obj"],
+    )
+    distances_of = _question_distances(spark, triples)
+
+    def llm(kind, prompt):
+        if kind == "decompose":
+            return "what does a use?\nwhat does c use?"
+        return f"answer({prompt[:20]})"
+
+    out = decomposition_completion(
+        triples, distances_of, "what do a and c use?", llm, k=1
+    )
+    assert out["subqueries"] == ["what does a use?", "what does c use?"]
+    assert set(out["answers"]) == set(out["subqueries"])
+    rows = {(r.subj, r.obj) for r in out["triplets"].collect()}
+    assert rows == {("a", "b"), ("c", "d")}  # merged, deduplicated
+    assert len(out["context_lines"]) == 2
