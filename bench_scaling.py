@@ -32,7 +32,7 @@ from cognee_spark.session import get_spark
 from cognee_spark.sources.corpus import write_repos_table
 
 spark = get_spark(app_name="scaling_prepare", master="local[32]", shuffle_partitions=32)
-write_repos_table(spark, {n_files}, {input_dir!r})
+write_repos_table(spark, {n_files}, {input_dir!r}, skew={skew!r})
 print("prepared")
 spark.stop()
 """
@@ -51,14 +51,37 @@ n_files = {n_files}
 # differs — the same way a real N-vs-4N cluster comparison holds the dataset
 # partitioning constant.
 mode = {mode!r}
+skew = {skew!r}
+extra = {{}}
+evdir = None
+if skew:
+    # event log ON so AQE's skew-join activity ("number of skewed
+    # partitions" metrics) is auditable after the run
+    import os as _os, tempfile as _tf
+    evdir = _tf.mkdtemp(prefix="cognee_skew_ev")
+    extra = {{"spark.eventLog.enabled": "true",
+              "spark.eventLog.dir": f"file://{{evdir}}",
+              "spark.eventLog.compress": "false",
+              # sandbox corpus is ~1000x smaller than production AND shuffle
+              # bytes are lz4-compressed ~10x on this repetitive corpus, so
+              # scale the skew threshold down with it (default 256MB fires
+              # naturally at 100 TB). Factor stays at the default 5x median.
+              "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+              # the hot key sits in the first of two CHAINED same-key joins
+              # (calls→exact→suffix); splitting it breaks the second join's
+              # co-partitioning, so plain OptimizeSkewedJoin declines. This
+              # is Spark's knob for exactly that case: accept the extra
+              # shuffle to kill the straggler.
+              "spark.sql.adaptive.forceOptimizeSkewedJoin": "true"}}
 if mode == "executors":
     # REAL separate executor JVMs (inter-executor shuffle); `cpus` = executor
     # count, 2 cores + 10g each — executor count is the only variable
     spark = get_spark(app_name=f"scaling_{{cpus}}",
                       master=f"local-cluster[{{cpus}},2,10240]",
-                      extra_conf={{"spark.executor.memory": "10g"}})
+                      extra_conf={{"spark.executor.memory": "10g", **extra}})
 else:
-    spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]")
+    spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
+                      extra_conf=extra)
 scratch = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
 root = tempfile.mkdtemp(prefix="cognee_scaling", dir=scratch)
 # warm the JVM/Python-worker pools so we measure dataflow, not process spawn
@@ -74,16 +97,42 @@ repos = spark.read.parquet({input_dir!r}).select("repo", "path", "commit", "lang
 started = time.perf_counter()
 result = run_pipeline(spark, repos, root,
                       f"scaling:{{n_files}}", compute_metrics=False, force=True,
-                      with_summaries=False, with_index=False)
+                      with_summaries=False, with_index=False,
+                      # optional explicit salting of the resolution joins
+                      # (AQE's skew rule can't split aggregate-adjacent
+                      # dictionary joins; see linking.resolve_code_edges)
+                      skew_salts={salts} or None)
 triples = result["tables"]["triples"].count()
 wall = time.perf_counter() - started
 shutil.rmtree(root, ignore_errors=True)
 shutil.rmtree(root + "_warm", ignore_errors=True)
 stages = {{c["stage"]: c["wall_sec"] for c in result["metrics"]["stages"]}}
-print(json.dumps({{"cpus": cpus, "n_files": n_files, "wall_sec": round(wall, 3),
-                  "triples": triples, "stages": stages,
-                  "triples_per_sec": round(triples / wall, 2)}}))
+out = {{"cpus": cpus, "n_files": n_files, "wall_sec": round(wall, 3),
+        "triples": triples, "stages": stages,
+        "triples_per_sec": round(triples / wall, 2)}}
 spark.stop()
+if skew:
+    # post-run audit: AQE skew metrics live in DRIVER accum updates (id,value
+    # pairs); the id -> metric-name mapping is declared in the plan info
+    import glob, os as _os2, re as _re
+    name_ids = {{}}
+    updates = {{}}
+    for path in glob.glob(evdir + "/**/*", recursive=True):
+        if _os2.path.isdir(path):
+            continue
+        with open(path, errors="ignore") as f:
+            for line in f:
+                for m in _re.finditer(r'"name":"number of skewed partition( split)?s","accumulatorId":(\d+)', line):
+                    name_ids[int(m.group(2))] = "splits" if m.group(1) else "partitions"
+                if '"accumUpdates"' in line:
+                    for m in _re.finditer(r'\[(\d+),(\d+)\]', line):
+                        i, v = int(m.group(1)), int(m.group(2))
+                        updates[i] = max(updates.get(i, 0), v)
+    out["aqe_skewed_partitions"] = sum(
+        v for i, v in updates.items() if name_ids.get(i) == "partitions")
+    out["aqe_skew_splits"] = sum(
+        v for i, v in updates.items() if name_ids.get(i) == "splits")
+print(json.dumps(out))
 """
 
 
@@ -97,16 +146,18 @@ def _run_code(code: str) -> str:
     return out.stdout.strip().splitlines()[-1]
 
 
-def prepare_input(n_files: int, input_dir: str) -> None:
-    _run_code(PREPARE.format(repo=str(REPO), n_files=n_files, input_dir=input_dir))
+def prepare_input(n_files: int, input_dir: str, skew: str | None = None) -> None:
+    _run_code(PREPARE.format(repo=str(REPO), n_files=n_files, input_dir=input_dir,
+                             skew=skew))
 
 
-def run_at(cpus: int, n_files: int, input_dir: str, trials: int = 1, mode: str = "threads") -> dict:
+def run_at(cpus: int, n_files: int, input_dir: str, trials: int = 1,
+           mode: str = "threads", skew: str | None = None, salts: int = 0) -> dict:
     """Best-of-N to cancel sandbox noise (virtio/steal spikes); each trial is
     a fresh JVM subprocess."""
     best: dict | None = None
     code = RUNNER.format(repo=str(REPO), cpus=cpus, n_files=n_files,
-                         input_dir=input_dir, mode=mode)
+                         input_dir=input_dir, mode=mode, skew=skew, salts=salts)
     for _ in range(trials):
         result = json.loads(_run_code(code))
         if best is None or result["wall_sec"] < best["wall_sec"]:
@@ -126,6 +177,12 @@ def main() -> None:
     parser.add_argument("--mode", choices=("threads", "executors"), default="threads",
                         help="threads: local[N] task slots; executors: local-cluster "
                              "with N real executor JVMs of 2 cores each")
+    parser.add_argument("--skew", choices=("mega",), default=None,
+                        help="mega: repo 0 holds 30%% of all files; event-log "
+                             "audit of AQE skew-join splitting is reported")
+    parser.add_argument("--salts", type=int, default=0,
+                        help="explicit skew salting of the resolution joins "
+                             "(0 = off)")
     args = parser.parse_args()
 
     if args.input_dir:
@@ -135,11 +192,13 @@ def main() -> None:
         input_dir = tempfile.mkdtemp(
             prefix="cognee_scaling_input", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
         )
-        prepare_input(args.n_files, input_dir)
+        prepare_input(args.n_files, input_dir, skew=args.skew)
         cleanup = True
     try:
-        low = run_at(args.low, args.n_files, input_dir, trials=args.trials, mode=args.mode)
-        high = run_at(args.high, args.n_files, input_dir, trials=args.trials, mode=args.mode)
+        low = run_at(args.low, args.n_files, input_dir, trials=args.trials,
+                     mode=args.mode, skew=args.skew, salts=args.salts)
+        high = run_at(args.high, args.n_files, input_dir, trials=args.trials,
+                      mode=args.mode, skew=args.skew, salts=args.salts)
     finally:
         if cleanup:
             shutil.rmtree(input_dir, ignore_errors=True)
@@ -159,6 +218,10 @@ def main() -> None:
     # raw report always persisted; BASELINE.md assembles the evidence across
     # (N, 4N) pairs
     tag = "execs_" if args.mode == "executors" else ""
+    if args.skew:
+        tag += f"skew{args.skew}_"
+    if args.salts:
+        tag += f"salt{args.salts}_"
     (bench_dir / f"scaling_{tag}{args.low}v{args.high}_{args.n_files}.json").write_text(
         json.dumps(report, indent=2)
     )

@@ -82,14 +82,47 @@ def _components_hybrid(spark, pairs: DataFrame) -> DataFrame:
 # --- code-mode resolution ------------------------------------------------------
 
 
-def resolve_code_edges(mentions: DataFrame, raw_edges: DataFrame) -> DataFrame:
+def resolve_code_edges(
+    mentions: DataFrame, raw_edges: DataFrame, skew_salts: int | None = None
+) -> DataFrame:
     """Raw code edges → resolved (repo, src, rel, dst) qualified-name edges.
 
-    All joins key on (repo, name) — co-partitioned by the input's repo
-    partitioning; AQE splits the mega-repo skew.
+    All joins key on (repo, name): high-cardinality composite keys, so repo
+    VOLUME skew spreads across partitions on its own. A hot KEY (one bare
+    name called from a third of the corpus — e.g. a mega-repo where every
+    file calls the same ambiguous symbol) still lands in one shuffle
+    partition, and AQE's skew-join rule CANNOT split it here: the rule only
+    matches SMJs whose sorts sit directly on shuffle stages, and the
+    dictionary sides (symbols/shorts/modules) end in aggregates (measured:
+    the same hot key splits 1→3 in a plain two-key SMJ but never in the
+    aggregate-adjacent form, even with forceOptimizeSkewedJoin).
+
+    ``skew_salts=S`` is the explicit handling the north rule names: the probe
+    side gets a deterministic salt hash(path, src) % S, the dictionary sides
+    are replicated ×S, and the joins key on (repo, name, salt) — the hot key
+    spreads over S partitions at the cost of an S-fold dictionary shuffle
+    (dictionaries are the small side, so this is cheap relative to the
+    straggler). Semantics are identical; tests pin equality.
     """
     code_m = mentions.where(F.col("mode") == "code")
     code_e = raw_edges.where(F.col("mode") == "code")
+
+    def salt_probe(df: DataFrame) -> DataFrame:
+        if not skew_salts:
+            return df
+        return df.withColumn(
+            "_salt", F.pmod(F.xxhash64("path", "src"), F.lit(skew_salts)).cast("int")
+        )
+
+    def salt_dict(df: DataFrame) -> DataFrame:
+        if not skew_salts:
+            return df
+        return df.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(skew_salts - 1)))
+        )
+
+    def salt_cond(left, right):
+        return [left["_salt"] == right["_salt"]] if skew_salts else []
 
     symbols = (
         code_m.where(F.col("kind").isin("class", "function", "method"))
@@ -109,27 +142,31 @@ def resolve_code_edges(mentions: DataFrame, raw_edges: DataFrame) -> DataFrame:
         "repo", F.col("name").alias("module_name")
     ).distinct()
 
-    calls = code_e.where(F.col("rel") == "calls")
+    calls = salt_probe(code_e.where(F.col("rel") == "calls"))
     # the symbol/module dictionaries GROW WITH THE CORPUS (unlike the NL alias
     # dictionary) — broadcasting them would serialize a driver-side hash-build
     # of millions of rows, and shuffle-hash joins OOM because their build side
-    # cannot spill; sort-merge spills gracefully and AQE skew-splits it
-    exact_side = symbols.select(
-        F.col("repo").alias("x_repo"), F.col("qualified").alias("dst_exact")
+    # cannot spill; sort-merge spills gracefully
+    exact_side = salt_dict(
+        symbols.select(F.col("repo").alias("x_repo"), F.col("qualified").alias("dst_exact"))
     ).hint("merge")
-    suffix_side = unique_shorts.select(
-        F.col("repo").alias("s_repo"), F.col("short").alias("s_short"),
-        F.col("qualified").alias("dst_suffix"),
+    suffix_side = salt_dict(
+        unique_shorts.select(
+            F.col("repo").alias("s_repo"), F.col("short").alias("s_short"),
+            F.col("qualified").alias("dst_suffix"),
+        )
     ).hint("merge")
     resolved_calls = (
         calls.join(
             exact_side,
-            on=[calls["repo"] == exact_side["x_repo"], calls["dst"] == exact_side["dst_exact"]],
+            on=[calls["repo"] == exact_side["x_repo"], calls["dst"] == exact_side["dst_exact"]]
+            + salt_cond(calls, exact_side),
             how="left",
         )
         .join(
             suffix_side,
-            on=[calls["repo"] == suffix_side["s_repo"], calls["dst"] == suffix_side["s_short"]],
+            on=[calls["repo"] == suffix_side["s_repo"], calls["dst"] == suffix_side["s_short"]]
+            + salt_cond(calls, suffix_side),
             how="left",
         )
         .withColumn("dst_resolved", F.coalesce("dst_exact", "dst_suffix"))
@@ -140,14 +177,15 @@ def resolve_code_edges(mentions: DataFrame, raw_edges: DataFrame) -> DataFrame:
         )
     )
 
-    imports = code_e.where(F.col("rel") == "imports_raw")
-    module_side = modules.select(
-        F.col("repo").alias("m_repo"), F.col("module_name")
+    imports = salt_probe(code_e.where(F.col("rel") == "imports_raw"))
+    module_side = salt_dict(
+        modules.select(F.col("repo").alias("m_repo"), F.col("module_name"))
     ).hint("merge")
     resolved_imports = (
         imports.join(
             module_side,
-            on=[imports["repo"] == module_side["m_repo"], imports["dst"] == module_side["module_name"]],
+            on=[imports["repo"] == module_side["m_repo"], imports["dst"] == module_side["module_name"]]
+            + salt_cond(imports, module_side),
             how="left",
         )
         .select(

@@ -106,6 +106,7 @@ def run_pipeline(
     with_index: bool = True,
     ontology: DataFrame | None = None,
     nl_extractor: str = "default",
+    skew_salts: int | None = None,
 ) -> dict:
     """Execute all stages over a repos(repo,path,commit,lang,content) frame.
 
@@ -228,7 +229,10 @@ def run_pipeline(
         aliases = stage("entity_aliases", build_aliases).select("name", "canonical")
 
         def build_triples() -> DataFrame:
-            resolved = resolve_code_edges(mentions, raw_edges)
+            # skew_salts spreads hot (repo, name) keys in the resolution
+            # joins; output is identical (tests pin it), so it's not part of
+            # the stage signature
+            resolved = resolve_code_edges(mentions, raw_edges, skew_salts=skew_salts)
             ct = code_triples(resolved)
             nt = nl_triples(raw_edges, aliases)
             out = ct.unionByName(nt)
