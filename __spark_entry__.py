@@ -1056,6 +1056,41 @@ SELECT query_id, rank, vec_id FROM (
 """
 
 
+def feedback_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memify feedback write-back (apply_feedback_weights.py:43-60): fold a
+    query-feedback log (derived deterministically from the events table) into
+    per-element EMA weights — per-step clip + 4-dp rounding, seq order."""
+    from cognee_spark.operators.feedback import feedback_weight_updates
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("e:"), (F.col("user_id") % 50).cast("string")).alias("element_id"),
+        F.col("event_id").alias("seq"),
+        ((F.col("event_id") % 5) + 1).cast("int").alias("feedback_score"),
+    )
+    return feedback_weight_updates(log)
+
+
+_FEEDBACK_SQL = """
+WITH log AS (
+  SELECT 'e:' || (user_id % 50) AS element_id, event_id AS seq,
+         CAST(event_id % 5 + 1 AS INT) AS feedback_score
+  FROM events
+),
+agg AS (
+  SELECT element_id,
+         list((feedback_score - 1) / 4.0 ORDER BY seq) AS ratings
+  FROM log GROUP BY element_id
+)
+SELECT element_id,
+       list_reduce(list_prepend(0.5::DOUBLE, ratings),
+                   (acc, r) -> floor(least(greatest(acc + 0.1 * (r - acc), 0.0::DOUBLE),
+                                           1.0::DOUBLE) * 10000 + 0.5) / 10000)
+           AS feedback_weight
+FROM agg
+"""
+
+
 # --- contract ---------------------------------------------------------------------------
 
 
@@ -1101,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triplet_topk": kg_triplet_topk,
         "minhash_jaccard_pairs": minhash_jaccard_pairs,
         "ivf_probe_topk": ivf_probe_topk,
+        "feedback_weights": feedback_weights,
     }
 
 
@@ -1146,4 +1182,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_triplet_topk": _TRIPLET_TOPK_SQL,
         "minhash_jaccard_pairs": _MINHASH_JACCARD_SQL,
         "ivf_probe_topk": _IVF_PROBE_SQL,
+        "feedback_weights": _FEEDBACK_SQL,
     }

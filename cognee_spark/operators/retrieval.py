@@ -62,19 +62,33 @@ def score_triplets(
     importance_weight: float = 1.0,
     feedback_weight: float = 0.5,
     feedback_blend: float = 0.0,
+    feedback_weights: DataFrame | None = None,
 ) -> DataFrame:
     """Score = Σ over {subj, obj} of (2 - importance) · distance, blended with
-    feedback (CogneeGraph.py:470-540). node_distances: (name, distance)."""
+    feedback (CogneeGraph.py:470-540). node_distances: (name, distance).
+
+    ``feedback_weights`` closes the memify loop (operators/feedback.py): a
+    (subj, pred, obj, feedback_weight) frame of per-edge learned weights —
+    edges without one fall back to the scalar ``feedback_weight`` default.
+    Higher weight (positive feedback) lowers the blended score, ranking the
+    edge earlier (lowest-score-first top-k)."""
     d = F.broadcast(node_distances)
     subj_d = d.select(F.col("name").alias("subj"), F.col("distance").alias("subj_distance"))
     obj_d = d.select(F.col("name").alias("obj"), F.col("distance").alias("obj_distance"))
     base = (2.0 - importance_weight) * (F.col("subj_distance") + F.col("obj_distance"))
-    blended = (1.0 - feedback_blend) * base + feedback_blend * (1.0 - feedback_weight)
-    return (
-        triples.join(subj_d, "subj")
-        .join(obj_d, "obj")
-        .withColumn("score", F.round(blended, 9))
-    )
+    scored = triples.join(subj_d, "subj").join(obj_d, "obj")
+    if feedback_weights is not None:
+        fw = feedback_weights.select(
+            "subj", "pred", "obj", F.col("feedback_weight").alias("_fw")
+        )
+        scored = scored.join(fw, ["subj", "pred", "obj"], "left").withColumn(
+            "_fw", F.coalesce("_fw", F.lit(float(feedback_weight)))
+        )
+        wf = F.col("_fw")
+    else:
+        wf = F.lit(float(feedback_weight))
+    blended = (1.0 - feedback_blend) * base + feedback_blend * (1.0 - wf)
+    return scored.withColumn("score", F.round(blended, 9)).drop("_fw")
 
 
 def top_k_triplets(scored: DataFrame, k: int = 10) -> DataFrame:

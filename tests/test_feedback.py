@@ -1,0 +1,85 @@
+"""Memify feedback loop (apply_feedback_weights.py semantics): EMA fold,
+validation, write-back, and re-ranking through score_triplets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cognee_spark.operators.feedback import (
+    apply_feedback_to_edges,
+    feedback_weight_updates,
+)
+from cognee_spark.operators.retrieval import score_triplets, top_k_triplets
+
+
+def _ref_fold(scores, alpha=0.1, w=0.5):
+    """Reference stream_update_weight applied in order (pure Python twin;
+    same explicit half-up rounding as the operator)."""
+    import math
+
+    for s in scores:
+        r = (s - 1) / 4
+        w = math.floor(max(0.0, min(1.0, w + alpha * (r - w))) * 10000 + 0.5) / 10000
+    return w
+
+
+def test_ema_fold_matches_reference(spark):
+    log = spark.createDataFrame(
+        [("a", i, s) for i, s in enumerate([5, 5, 1, 3])]
+        + [("b", i, s) for i, s in enumerate([1, 1])],
+        ["element_id", "seq", "feedback_score"],
+    )
+    got = {r.element_id: r.feedback_weight for r in feedback_weight_updates(log).collect()}
+    assert got == {"a": _ref_fold([5, 5, 1, 3]), "b": _ref_fold([1, 1])}
+
+
+def test_fold_is_order_sensitive_by_seq(spark):
+    """Events fold in seq order, not input order (streaming semantics)."""
+    shuffled = spark.createDataFrame(
+        [("a", 2, 1), ("a", 0, 5), ("a", 1, 5)], ["element_id", "seq", "feedback_score"]
+    )
+    got = feedback_weight_updates(shuffled).first().feedback_weight
+    assert got == _ref_fold([5, 5, 1])
+    assert got != _ref_fold([1, 5, 5])
+
+
+def test_invalid_scores_ignored(spark):
+    log = spark.createDataFrame(
+        [("a", 0, 5), ("a", 1, 0), ("a", 2, 6), ("a", 3, 3)],
+        ["element_id", "seq", "feedback_score"],
+    )
+    got = feedback_weight_updates(log).first().feedback_weight
+    assert got == _ref_fold([5, 3])
+
+
+def test_write_back_and_reranking(spark):
+    """Negative feedback on one edge must demote it in top-k retrieval; edges
+    without feedback keep the default weight."""
+    edges = spark.createDataFrame(
+        [("e1", 0.5), ("e2", 0.5)], ["edge_object_id", "feedback_weight"]
+    )
+    log = spark.createDataFrame(
+        [("e1", 0, 1)] * 1 + [("e1", i, 1) for i in range(1, 30)],
+        ["element_id", "seq", "feedback_score"],
+    )
+    updates = feedback_weight_updates(log)
+    out = {r.edge_object_id: r.feedback_weight for r in apply_feedback_to_edges(edges, updates).collect()}
+    assert out["e2"] == 0.5
+    assert out["e1"] < 0.05  # 30 rounds of score-1 feedback → weight → ~0
+
+    # re-ranking: equal distances, feedback decides the order
+    triples = spark.createDataFrame(
+        [("x", "uses", "y"), ("x", "uses", "z")], ["subj", "pred", "obj"]
+    )
+    dists = spark.createDataFrame(
+        [("x", 0.1), ("y", 0.1), ("z", 0.1)], ["name", "distance"]
+    )
+    fw = spark.createDataFrame(
+        [("x", "uses", "y", 0.0), ("x", "uses", "z", 1.0)],
+        ["subj", "pred", "obj", "feedback_weight"],
+    )
+    top = top_k_triplets(
+        score_triplets(triples, dists, feedback_blend=0.5, feedback_weights=fw), k=2
+    ).collect()
+    # z has weight 1.0 (positive) → lower score → rank 1; y demoted
+    assert [(r.obj, r.rank) for r in sorted(top, key=lambda r: r.rank)] == [("z", 1), ("y", 2)]
