@@ -1056,6 +1056,32 @@ SELECT query_id, rank, vec_id FROM (
 """
 
 
+def kg_nl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-language search over the engine's OWN graph: the question goes
+    through schema-prompted query generation (deterministic serving double),
+    guardrail validation, and guarded Spark SQL execution
+    (natural_language_retriever.py flow); the oracle computes the same answer
+    independently over the golden nodes parquet."""
+    from cognee_spark.operators.nlsearch import (
+        natural_language_search,
+        template_sql_generator,
+    )
+
+    tables = {
+        "nodes": _kg_tables(spark)["nodes"].select("entity_id", "name", "kind"),
+        "triples": _kg_tables(spark)["triples"].select("subj", "pred", "obj"),
+    }
+    return natural_language_search(
+        spark, tables, "how many function nodes", template_sql_generator()
+    )
+
+
+_KG_NL_SEARCH_SQL = f"""
+SELECT count(*) AS n FROM read_parquet('{_KG_GOLDEN_DIR}/nodes.parquet')
+WHERE kind = 'function'
+"""
+
+
 def feedback_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memify feedback write-back (apply_feedback_weights.py:43-60): fold a
     query-feedback log (derived deterministically from the events table) into
@@ -1137,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_pairs": minhash_jaccard_pairs,
         "ivf_probe_topk": ivf_probe_topk,
         "feedback_weights": feedback_weights,
+        "kg_nl_search": kg_nl_search,
     }
 
 
@@ -1183,4 +1210,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_pairs": _MINHASH_JACCARD_SQL,
         "ivf_probe_topk": _IVF_PROBE_SQL,
         "feedback_weights": _FEEDBACK_SQL,
+        "kg_nl_search": _KG_NL_SEARCH_SQL,
     }

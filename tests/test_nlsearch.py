@@ -1,0 +1,78 @@
+"""Natural-language / generated-query search (natural_language_retriever.py
+semantics): schema-prompted generation, guarded execution, retry with
+failure feedback."""
+
+from __future__ import annotations
+
+import pytest
+
+from cognee_spark.operators.nlsearch import (
+    QueryRejected,
+    natural_language_search,
+    template_sql_generator,
+    validate_generated_sql,
+)
+
+
+@pytest.fixture()
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [("n1", "a", "function"), ("n2", "b", "function"), ("n3", "c", "module")],
+        ["entity_id", "name", "kind"],
+    )
+    triples = spark.createDataFrame(
+        [("a", "uses", "b"), ("a", "calls", "c")], ["subj", "pred", "obj"]
+    )
+    return {"nodes": nodes, "triples": triples}
+
+
+def test_guardrails():
+    allowed = {"kg_nodes", "kg_triples"}
+    validate_generated_sql("SELECT * FROM kg_nodes", allowed)
+    validate_generated_sql(
+        "WITH t AS (SELECT * FROM kg_triples) SELECT * FROM t", allowed
+    )
+    with pytest.raises(QueryRejected):
+        validate_generated_sql("DROP TABLE kg_nodes", allowed)
+    with pytest.raises(QueryRejected):
+        validate_generated_sql("SELECT * FROM other_table", allowed)
+    with pytest.raises(QueryRejected):
+        validate_generated_sql("SELECT 1; SELECT 2", allowed)
+    with pytest.raises(QueryRejected):
+        validate_generated_sql("SELECT * FROM kg_nodes WHERE kind = (DELETE)", allowed)
+
+
+def test_generated_query_answers_question(spark, graph):
+    out = natural_language_search(
+        spark, graph, "how many function nodes", template_sql_generator()
+    )
+    assert out.first().n == 2
+    out = natural_language_search(
+        spark, graph, "what does a uses?", template_sql_generator()
+    )
+    assert [r.obj for r in out.collect()] == ["b"]
+
+
+def test_retry_feeds_failure_back_into_prompt(spark, graph):
+    """Attempt 1 generates invalid SQL; the retry prompt must carry the
+    failed query + error, and attempt 2 succeeds (reference
+    previous_attempts flow)."""
+    prompts = []
+
+    def flaky_llm(prompt):
+        prompts.append(prompt)
+        if len(prompts) == 1:
+            return "SELECT nonexistent_column FROM kg_nodes"
+        return "SELECT count(*) AS n FROM kg_nodes"
+
+    out = natural_language_search(spark, graph, "how many nodes?", flaky_llm)
+    assert out.first().n == 3
+    assert "No attempts yet" in prompts[0]
+    assert "nonexistent_column" in prompts[1] and "error" in prompts[1]
+
+
+def test_all_attempts_failing_raises(spark, graph):
+    with pytest.raises(QueryRejected):
+        natural_language_search(
+            spark, graph, "q", lambda p: "DROP TABLE kg_nodes", max_attempts=2
+        )
