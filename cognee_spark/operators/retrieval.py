@@ -257,6 +257,54 @@ def cot_completion_rounds(
     }
 
 
+def context_extension_completion(
+    triples: DataFrame,
+    distances_of,
+    question: str,
+    llm,
+    k: int = 5,
+    max_rounds: int = 4,
+) -> dict:
+    """Context-extension graph completion
+    (graph_completion_context_extension_retriever.py:59-130): each round uses
+    the CURRENT COMPLETION TEXT as the next retrieval query, merges the newly
+    found triplets into the state, and stops early once a round adds no new
+    triplets (convergence) or after ``max_rounds``."""
+    state = _merged_top_k(triples, distances_of(question), k)
+    n_triplets = state.count()
+    rounds_run = 0
+
+    def lines_of(frame):
+        ctx = resolve_edges_to_text(frame.orderBy("score", "subj", "pred", "obj"))
+        return [r.context_line for r in ctx.collect()]
+
+    context_lines = lines_of(state)
+    completion = None
+    for _ in range(max_rounds):
+        rounds_run += 1
+        prompt = COMPLETION_PROMPT_TEMPLATE.format(
+            question=question, context="\n---\n".join(context_lines)
+        )
+        completion = llm("completion", prompt)
+        new = _merged_top_k(triples, distances_of(completion), k)
+        state = (
+            state.unionByName(new)
+            .groupBy("subj", "pred", "obj")
+            .agg(F.min("score").alias("score"), F.min("rank").alias("rank"))
+        )
+        new_count = state.count()
+        context_lines = lines_of(state)
+        if new_count == n_triplets:
+            break  # converged: the round added nothing new
+        n_triplets = new_count
+    return {
+        "answer": completion,
+        "context_lines": context_lines,
+        "triplets": state,
+        "rounds": rounds_run,
+    }
+
+
 def decomposition_completion(
     triples: DataFrame,
     distances_of,

@@ -178,6 +178,31 @@ def test_cot_rounds_follow_reference_template_flow(spark):
     assert again["context_lines"] == out["context_lines"]
 
 
+def test_context_extension_grows_then_converges(spark):
+    """Each round retrieves with the COMPLETION text as the query; rounds
+    stop early once nothing new arrives (reference convergence check)."""
+    from cognee_spark.operators.retrieval import context_extension_completion
+
+    triples = spark.createDataFrame(
+        [("a", "uses", "b"), ("b", "uses", "c"), ("c", "uses", "d"), ("x", "uses", "y")],
+        ["subj", "pred", "obj"],
+    )
+    distances_of = _question_distances(spark, triples)
+
+    def llm(kind, prompt):
+        # the completion mentions only c, steering the next retrieval there
+        return "the chain passes c"
+
+    out = context_extension_completion(
+        triples, distances_of, "what does a use?", llm, k=1, max_rounds=4
+    )
+    rows = {(r.subj, r.obj) for r in out["triplets"].collect()}
+    # round 1: a--b; round 2 fetches c's best edge (b--c) and merges; round 3
+    # adds nothing → early convergence
+    assert rows == {("a", "b"), ("b", "c")}
+    assert out["rounds"] == 2
+
+
 def test_decomposition_merges_subquery_edges(spark):
     from cognee_spark.operators.retrieval import decomposition_completion
 
