@@ -132,17 +132,33 @@ def resolve_code_edges(
     shorts = symbols.select(
         "repo", F.substring_index("qualified", ".", -1).alias("short"), "qualified"
     )
-    unique_shorts = (
-        shorts.groupBy("repo", "short")
-        .agg(F.min("qualified").alias("qualified"), F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") == 1)
-        .drop("n")
+    short_counts = shorts.groupBy("repo", "short").agg(
+        F.min("qualified").alias("qualified"), F.count(F.lit(1)).alias("n")
+    )
+    unique_shorts = short_counts.where(F.col("n") == 1).drop("n")
+    # the AMBIGUOUS shorts (defined >= 2x in their repo) are the hot-key
+    # prefilter below; ambiguity is rare, so this side is ~100x smaller than
+    # the symbol dictionary and broadcasts
+    ambiguous_shorts = short_counts.where(F.col("n") > 1).select(
+        "repo", F.col("short").alias("dst")
     )
     modules = code_m.where(F.col("kind") == "module").select(
         "repo", F.col("name").alias("module_name")
     ).distinct()
 
-    calls = salt_probe(code_e.where(F.col("rel") == "calls"))
+    # HOT-KEY PREFILTER: a bare call whose (repo, short) is AMBIGUOUS can
+    # never resolve (ladder rule 3 — extract_code_graph.py:305-314), so drop
+    # it BEFORE any (repo, dst) shuffle. This is where real-corpus hot keys
+    # live (everybody defines and calls `helper`/`main`/`init`): the mega-repo
+    # skew corpus measured a ~1M-row hot partition in the resolution SMJs
+    # that AQE cannot split (aggregate-adjacent sides) and that salting fixes
+    # only at a x S dictionary-replication cost; the broadcast anti-join
+    # kills those rows at the scan instead. Bare shorts contain no dots, so
+    # no row that could match the exact (qualified, dotted) join is touched.
+    calls = code_e.where(F.col("rel") == "calls").join(
+        F.broadcast(ambiguous_shorts), ["repo", "dst"], "left_anti"
+    )
+    calls = salt_probe(calls)
     # the symbol/module dictionaries GROW WITH THE CORPUS (unlike the NL alias
     # dictionary) — broadcasting them would serialize a driver-side hash-build
     # of millions of rows, and shuffle-hash joins OOM because their build side
