@@ -212,6 +212,44 @@ def hyperplanes(dim: int, n_planes: int = VEC_LSH_PLANES) -> list[list[float]]:
 UNROLL_MIN_ROWS = 50_000
 
 
+def _make_bands_udf(planes: list[list[float]], n_bands: int, per_band: int):
+    """Arrow-batched band-key kernel for the small-table LSH path.
+
+    Bit-exact with the unrolled Spark fold: the dot product accumulates
+    vectorized across ROWS but sequentially across DIMENSIONS —
+    ``acc = acc + V[:, j] * p[j]`` for j = 0..dim-1 performs, per row, the
+    identical IEEE multiply-then-add sequence as
+    ``aggregate(zip_with(v, plane, *), 0.0, +)``; numpy does not
+    reassociate across these separate array ops."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def bands_of(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # float→double is exact
+        n = V.shape[0]
+        P = planes
+        bits = np.empty((n, len(P)), dtype=np.uint8)
+        for p_idx, plane in enumerate(P):
+            acc = np.zeros(n, dtype=np.float64)
+            for j, pj in enumerate(plane):
+                acc = acc + V[:, j] * pj
+            bits[:, p_idx] = acc >= 0
+        chars = np.where(bits == 1, "1", "0")
+        out = [
+            [
+                f"{b}:" + "".join(chars[r, b * per_band : (b + 1) * per_band])
+                for b in range(n_bands)
+            ]
+            for r in range(n)
+        ]
+        return pd.Series(out)
+
+    return bands_of
+
+
 def embedding_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -237,17 +275,18 @@ def embedding_duplicates(
       amortizes at any real table size; no materialization barrier, because
       persisting a 100 TB signature projection is worse than recomputing the
       codegen'd dots on each consumer's scan.
-    - unroll=False (small interactive corpora): the planes ride as DATA — a
-      broadcast one-row frame crossJoined in — instead of 48×64 literal
-      expressions, so the plan tree stays tiny (the literal form costs ~4.5 s
+    - unroll=False (small interactive corpora): the signature is an
+      Arrow-batched numpy kernel — planes ship in the UDF closure (data, not
+      plan), so the expression tree stays tiny (the literal form costs ~4.5 s
       of per-query driver analysis/constant-folding, measured; py4j-building
-      the 3072 F.lit columns costs another ~3.6 s). The signature evaluates
-      interpreted (~ms/row) behind a repartition + eager localCheckpoint
-      barrier so it runs once, in parallel, and is never re-inlined into the
-      four downstream consumers; the verify sides are broadcast (bounded by
-      the size gate). The per-row fold runs in the SAME left-to-right order
-      as the unrolled form, so the sign bits — and therefore the emitted
-      pairs — are identical.
+      the 3072 F.lit columns costs another ~3.6 s; a Catalyst
+      higher-order-function form evaluates interpreted at ~ms/row). The
+      kernel folds each dot product VECTORIZED ACROSS ROWS but SEQUENTIALLY
+      ACROSS DIMENSIONS — per row the IEEE operation sequence is identical
+      to the unrolled Spark fold, so the sign bits (and therefore the
+      emitted pairs) are bit-identical, pinned by test. A repartition +
+      eager localCheckpoint barrier runs it once for the four downstream
+      consumers; the verify sides are broadcast (bounded by the size gate).
     """
     if dim is None:
         dim = embeddings.select(F.size(vec_col).alias("d")).first().d
@@ -282,30 +321,14 @@ def embedding_duplicates(
             F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"), band_keys.alias("bands")
         )
     else:
-        spark = embeddings.sparkSession
-        planes_df = spark.createDataFrame([(planes,)], "planes: array<array<double>>")
-        bits = F.transform(
-            F.col("planes"),
-            lambda p: F.when(
-                F.aggregate(F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        )
-        bands = F.transform(
-            F.sequence(F.lit(0), F.lit(VEC_LSH_BANDS - 1)),
-            lambda b: F.concat_ws(
-                ":",
-                b.cast("string"),
-                F.array_join(F.slice(F.col("bits"), b * per_band + 1, F.lit(per_band)), ""),
-            ),
-        )
-        cores = spark.sparkContext.defaultParallelism
+        bands_udf = _make_bands_udf(planes, VEC_LSH_BANDS, per_band)
+        cores = embeddings.sparkSession.sparkContext.defaultParallelism
         base = (
             embeddings.repartition(cores)
-            .crossJoin(F.broadcast(planes_df))
-            .select(F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"), bits.alias("bits"))
-            .select("id", "v", "n", bands.alias("bands"))
+            .select(
+                F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"),
+                bands_udf(v).alias("bands"),
+            )
             .localCheckpoint(eager=True)
         )
     banded = base.select("id", F.explode("bands").alias("band"))
