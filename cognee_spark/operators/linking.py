@@ -83,7 +83,10 @@ def _components_hybrid(spark, pairs: DataFrame) -> DataFrame:
 
 
 def resolve_code_edges(
-    mentions: DataFrame, raw_edges: DataFrame, skew_salts: int | None = None
+    mentions: DataFrame,
+    raw_edges: DataFrame,
+    skew_salts: int | None = None,
+    prefilter_ambiguous: bool = True,
 ) -> DataFrame:
     """Raw code edges → resolved (repo, src, rel, dst) qualified-name edges.
 
@@ -155,9 +158,9 @@ def resolve_code_edges(
     # only at a x S dictionary-replication cost; the broadcast anti-join
     # kills those rows at the scan instead. Bare shorts contain no dots, so
     # no row that could match the exact (qualified, dotted) join is touched.
-    calls = code_e.where(F.col("rel") == "calls").join(
-        F.broadcast(ambiguous_shorts), ["repo", "dst"], "left_anti"
-    )
+    calls = code_e.where(F.col("rel") == "calls")
+    if prefilter_ambiguous:
+        calls = calls.join(F.broadcast(ambiguous_shorts), ["repo", "dst"], "left_anti")
     calls = salt_probe(calls)
     # the symbol/module dictionaries GROW WITH THE CORPUS (unlike the NL alias
     # dictionary) — broadcasting them would serialize a driver-side hash-build
