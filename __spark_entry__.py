@@ -1056,6 +1056,65 @@ SELECT query_id, rank, vec_id FROM (
 """
 
 
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval ranking core (hybrid/ranking.py:7-57): fuse two
+    retrieval rank lists (BM25 over two query-term sets) by reciprocal-rank
+    fusion with the reference's rrf_k formula and tie-break order."""
+    from cognee_spark.operators.retrieval import bm25_score, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    a = bm25_score(docs, ["spark", "query"], k=30).select("doc_id", "rank")
+    b = bm25_score(docs, ["data", "table"], k=30).select("doc_id", "rank")
+    return rrf_fuse([a, b], top_k=10).select("doc_id", "fuse_rank", "rrf_score")
+
+
+def _bm25_rank_ctes(tag: str, terms: list[str], k: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+tf_{tag} AS (SELECT doc_id, term, count(*) AS tf FROM tokens
+       WHERE term IN ({tl}) GROUP BY doc_id, term),
+idf_{tag} AS (SELECT term, ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tf_{tag} GROUP BY term), stats),
+scored_{tag} AS (
+  SELECT tf_{tag}.doc_id,
+         round(sum(idf_{tag}.idf * (tf_{tag}.tf * (1.5 + 1))
+               / (tf_{tag}.tf + 1.5 * (1 - 0.75 + 0.75 * doc_len.dl / stats.avgdl))), 9) AS bm25
+  FROM tf_{tag} JOIN idf_{tag} USING (term) JOIN doc_len USING (doc_id), stats
+  GROUP BY tf_{tag}.doc_id
+),
+rank_{tag} AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM scored_{tag}
+  ) WHERE rank <= {k}
+)"""
+
+
+_HYBRID_RRF_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, w AS term
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+  WHERE w <> ''
+),
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT avg(dl) FROM doc_len) AS avgdl),""" + _bm25_rank_ctes(
+    "a", ["spark", "query"], 30
+) + "," + _bm25_rank_ctes("b", ["data", "table"], 30) + r""",
+fused AS (
+  SELECT doc_id,
+         round(coalesce(1.0 / (40 + a.rank), 0) + coalesce(1.0 / (40 + b.rank), 0), 9)
+             AS rrf_score,
+         least(coalesce(a.rank, 2147483647), coalesce(b.rank, 2147483647)) AS best_rank
+  FROM rank_a a FULL OUTER JOIN rank_b b USING (doc_id)
+)
+SELECT doc_id, fuse_rank, rrf_score FROM (
+  SELECT doc_id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, best_rank, doc_id) AS fuse_rank
+  FROM fused
+) WHERE fuse_rank <= 10
+"""
+
+
 def kg_nl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural-language search over the engine's OWN graph: the question goes
     through schema-prompted query generation (deterministic serving double),
@@ -1164,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_topk": ivf_probe_topk,
         "feedback_weights": feedback_weights,
         "kg_nl_search": kg_nl_search,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
     }
 
 
@@ -1211,4 +1271,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_probe_topk": _IVF_PROBE_SQL,
         "feedback_weights": _FEEDBACK_SQL,
         "kg_nl_search": _KG_NL_SEARCH_SQL,
+        "hybrid_rrf_topk": _HYBRID_RRF_SQL,
     }

@@ -351,6 +351,60 @@ def decomposition_completion(
     }
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    importance: DataFrame | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval rank lists — the hybrid
+    retriever's ranking core (hybrid/ranking.py:7-57): each input frame
+    carries (id, rank) with 1-based ranks; a document's score is
+    Σ 1/(rrf_k + rank) over the lists that ranked it, with
+    rrf_k = max(30, min(60, 20 + 2·top_k)); the optional importance frame
+    (id, importance_weight) multiplies by 0.75 + 0.5·clip01(w). Ties break
+    by (rrf desc, best single-list rank asc, id asc) — the reference sort.
+    All arithmetic is codegen; the final top-k is TakeOrderedAndProject."""
+    rrf_k = max(30, min(60, 20 + 2 * top_k))
+    joined = None
+    for i, frame in enumerate(rankings):
+        side = frame.select(
+            F.col(id_col), F.col("rank").alias(f"_rank_{i}")
+        )
+        joined = side if joined is None else joined.join(side, id_col, "full_outer")
+    rank_cols = [F.col(f"_rank_{i}") for i in range(len(rankings))]
+    term = lambda r: F.when(r.isNotNull(), 1.0 / (F.lit(float(rrf_k)) + r)).otherwise(
+        F.lit(0.0)
+    )
+    rrf = sum((term(r) for r in rank_cols), F.lit(0.0))
+    best = F.least(*rank_cols) if len(rank_cols) > 1 else rank_cols[0]
+    out = joined.select(
+        id_col, F.round(rrf, 9).alias("rrf_score"), best.alias("best_rank")
+    )
+    if importance is not None:
+        imp = importance.select(
+            id_col,
+            (
+                0.75
+                + 0.5
+                * F.least(F.greatest(F.col("importance_weight"), F.lit(0.0)), F.lit(1.0))
+            ).alias("_factor"),
+        )
+        out = out.join(imp, id_col, "left").withColumn(
+            "final_score",
+            F.round(F.col("rrf_score") * F.coalesce("_factor", F.lit(1.0)), 9),
+        ).drop("_factor")
+    else:
+        out = out.withColumn("final_score", F.col("rrf_score"))
+    top = out.orderBy(
+        F.desc("final_score"), F.desc("rrf_score"), F.asc("best_rank"), F.asc(id_col)
+    ).limit(top_k)
+    w = Window.orderBy(
+        F.desc("final_score"), F.desc("rrf_score"), F.asc("best_rank"), F.asc(id_col)
+    )
+    return top.withColumn("fuse_rank", F.row_number().over(w))
+
+
 def bm25_score(
     docs: DataFrame,
     query_terms: list[str],

@@ -75,6 +75,27 @@ def test_bm25(spark):
     assert scores[1] > scores[2]
 
 
+def test_rrf_fusion(spark):
+    """Hybrid ranking core (hybrid/ranking.py): Σ 1/(rrf_k + rank) over the
+    lists that ranked a doc, optional importance factor 0.75 + 0.5·w."""
+    from cognee_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (4, 2)], ["doc_id", "rank"])
+    out = {r.doc_id: r for r in rrf_fuse([a, b], top_k=10).collect()}
+    k = 40  # max(30, min(60, 20 + 2*10))
+    assert out[2].rrf_score == round(1 / (k + 2) + 1 / (k + 1), 9)  # both lists
+    assert out[1].rrf_score == round(1 / (k + 1), 9)
+    assert out[2].fuse_rank == 1  # two lists beat any single-list doc
+    # importance factor reorders equal-rrf docs: docs 1 and 4 tie on rrf
+    # (rank 1 in a vs rank 2 in b differ — use docs with identical terms)
+    imp = spark.createDataFrame([(1, 1.0), (2, 0.0), (3, 0.5), (4, 0.5)],
+                                ["doc_id", "importance_weight"])
+    out_i = {r.doc_id: r for r in rrf_fuse([a, b], top_k=10, importance=imp).collect()}
+    assert out_i[1].final_score == round((1 / (k + 1)) * 1.25, 9)
+    assert out_i[2].final_score == round((1 / (k + 2) + 1 / (k + 1)) * 0.75, 9)
+
+
 def test_completion_prompt_assembly(spark):
     """R7 context construction (graph_context_for_question.txt rendering)."""
     from cognee_spark.operators.retrieval import graph_completion_context
