@@ -102,3 +102,20 @@ def test_nl_alias_join_broadcasts(spark):
     plan = _plan(nl_triples(raw, mapping))
     assert plan.count("BroadcastHashJoin") >= 2  # both alias lookups broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_ambiguous_prefilter_is_broadcast_anti_join(spark):
+    """The hot-key prefilter must stay a BROADCAST left-anti join: a shuffled
+    anti-join would re-introduce the skewed (repo, dst) exchange it exists to
+    avoid (BENCH/BASELINE.md Pair 3)."""
+    from cognee_spark.operators.extraction import mentions_of, raw_edges_of, extract_from_files
+    from cognee_spark.operators.linking import resolve_code_edges
+    from cognee_spark.sources.corpus import build_repos_df
+
+    repos = build_repos_df(spark, 120)
+    files = repos.selectExpr("repo", "path", "lang", "content", "sha2(content, 256) AS content_sha")
+    ext = extract_from_files(files)
+    plan = _plan(resolve_code_edges(mentions_of(ext), raw_edges_of(ext)))
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti, plan
+    assert all("Broadcast" in ln for ln in anti), anti
