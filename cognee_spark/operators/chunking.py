@@ -337,9 +337,12 @@ def chunk_documents(
     src = documents.select(
         F.col(id_col).alias("document_id"), F.col(text_col).alias("text"), *lineage
     )
-    cores = documents.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < 2 * cores:
-        src = src.repartition(2 * cores)
+    # width probe via the scan's file listing, never rdd.getNumPartitions()
+    # (the RDD conversion re-analyzes the plan per invocation — a driver
+    # stall at 100 TB); see extraction._widen for the full rationale
+    from cognee_spark.operators.extraction import _widen
+
+    src = _widen(src)
 
     out_fields = [
         f
