@@ -257,14 +257,29 @@ def embedding_duplicates(
     threshold: float = 0.95,
     dim: int | None = None,
     unroll: bool | None = None,
+    n_planes: int = VEC_LSH_PLANES,
+    n_bands: int = VEC_LSH_BANDS,
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold via hyperplane-LSH blocking.
 
-    Sign-bit signature over VEC_LSH_PLANES deterministic hyperplanes, banded
-    into VEC_LSH_BANDS buckets (recall/selectivity math at the constants
-    above); only pairs sharing a band bucket are verified with exact cosine.
-    The round-1 all-pairs crossJoin is gone — the self-join is keyed on
-    (band, key), so candidate volume is Σ bucket² instead of n².
+    Sign-bit signature over ``n_planes`` deterministic hyperplanes, banded
+    into ``n_bands`` buckets; only pairs sharing a band bucket are verified
+    with exact cosine. The round-1 all-pairs crossJoin is gone — the
+    self-join is keyed on (band, key), so candidate volume is Σ bucket²
+    instead of n².
+
+    RECALL IS THRESHOLD-DEPENDENT (this is a property of any banded LSH, not
+    a bug): a pair at cosine s agrees per bit with probability
+    1 - arccos(s)/π, matches a b-bit band with that probability^b, and is
+    MISSED with probability (1 - p_band)^n_bands. At the 6×8-bit default:
+    miss ≈ 3.6e-2 at s = 0.95 (≈ 1 in 28 borderline pairs), 8.5e-4 at
+    s = 0.99, ~0 above. The defaults tune for selectivity — random-pair band
+    collision ~2^-8, which measurement showed is what keeps candidates
+    subquadratic. If borderline (≈ threshold) recall matters more than
+    candidate volume, pass more/narrower bands: n_planes=48, n_bands=8
+    (6-bit bands) drops the 0.95 miss to ≈ 2.5e-3 at ~4× the random-pair
+    admission (2^-6/band); callers own that trade. The DuckDB oracle must use
+    the same (n_planes, n_bands) to replay.
 
     Two bit-identical signature paths, gated on table size (``unroll=None``
     probes a parquet-metadata count):
@@ -293,8 +308,10 @@ def embedding_duplicates(
     if unroll is None:
         # parquet-metadata count: cheap at any size (no column decode)
         unroll = embeddings.count() >= UNROLL_MIN_ROWS
-    planes = hyperplanes(dim)
-    per_band = VEC_LSH_PLANES // VEC_LSH_BANDS
+    if n_planes % n_bands:
+        raise ValueError(f"n_planes={n_planes} must divide evenly into n_bands={n_bands}")
+    planes = hyperplanes(dim, n_planes)
+    per_band = n_planes // n_bands
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     small = not unroll
@@ -314,14 +331,14 @@ def embedding_duplicates(
                 F.concat_ws(
                     ":", F.lit(b), F.concat(*bits[b * per_band : (b + 1) * per_band])
                 )
-                for b in range(VEC_LSH_BANDS)
+                for b in range(n_bands)
             ]
         )
         base = embeddings.select(
             F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"), band_keys.alias("bands")
         )
     else:
-        bands_udf = _make_bands_udf(planes, VEC_LSH_BANDS, per_band)
+        bands_udf = _make_bands_udf(planes, n_bands, per_band)
         cores = embeddings.sparkSession.sparkContext.defaultParallelism
         base = (
             embeddings.repartition(cores)

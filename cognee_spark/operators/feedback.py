@@ -35,6 +35,7 @@ def feedback_weight_updates(
     id_col: str = "element_id",
     seq_col: str = "seq",
     score_col: str = "feedback_score",
+    current: DataFrame | None = None,
 ) -> DataFrame:
     """Fold a feedback log into per-element weights: (element_id, feedback_weight).
 
@@ -43,6 +44,20 @@ def feedback_weight_updates(
     runner skips it). Events fold in ``seq`` order per element — the
     streaming semantics of stream_update_weight (apply_feedback_weights.py:
     54-60), including the per-step clip to [0, 1] and 4-decimal rounding.
+
+    SEEDING CONTRACT — this matches the reference, which reads each element's
+    CURRENT weight from the graph before folding new events onto it:
+
+    - ``current=None`` (default): every element's fold starts from the
+      constant ``initial``. The input MUST therefore be the COMPLETE feedback
+      log for the elements it covers — re-folding a partial log would
+      silently discard previously learned weights.
+    - ``current`` given — a (element_id, feedback_weight) frame of already
+      learned weights (e.g. the edge table's current state): each element's
+      fold seeds from its current weight (``initial`` for unseen elements),
+      so the input may be just the NEW batch of events. Folding a log in two
+      seeded batches is exactly equivalent to one unseeded fold of the full
+      log (pinned by tests/test_feedback.py).
     """
     rated = feedback.where(
         F.col(score_col).cast("int").between(1, 5)
@@ -57,6 +72,15 @@ def feedback_weight_updates(
     per_element = rated.groupBy("element_id").agg(
         F.array_sort(F.collect_list("ev")).alias("events")
     )
+    if current is not None:
+        # no broadcast hint: ``current`` may be the full (corpus-sized) edge
+        # table; per_element is feedback-volume-sized, so AQE broadcasts THAT
+        # side of the join on its own
+        cur = current.select("element_id", F.col("feedback_weight").alias("_seed"))
+        per_element = per_element.join(cur, "element_id", "left")
+        seed = F.coalesce(F.col("_seed"), F.lit(float(initial)))
+    else:
+        seed = F.lit(float(initial))
     # explicit half-up rounding (floor(x·10⁴ + 0.5)/10⁴) instead of round():
     # engines disagree on double round() exactly at .xxxx5 midpoints, which
     # the decimal EMA hits constantly; this formula computes the identical
@@ -75,7 +99,7 @@ def feedback_weight_updates(
     )
     return per_element.select(
         "element_id",
-        F.aggregate("events", F.lit(float(initial)), step).alias("feedback_weight"),
+        F.aggregate("events", seed.cast("double"), step).alias("feedback_weight"),
     )
 
 
@@ -85,7 +109,14 @@ def apply_feedback_to_edges(
     edge_id_col: str = "edge_object_id",
 ) -> DataFrame:
     """Write the folded weights back onto the edge table (elements without
-    feedback keep their current weight) — the MERGE half of the loop."""
+    feedback keep their current weight) — the MERGE half of the loop.
+
+    For INCREMENTAL application (a new feedback batch against an
+    already-updated edge table) build ``updates`` with
+    ``feedback_weight_updates(batch, current=edges.select(
+    F.col(edge_id_col).alias("element_id"), "feedback_weight"))`` so the fold
+    seeds from the stored weights instead of restarting at the initial
+    constant — see the seeding contract on feedback_weight_updates."""
     u = updates.select(
         F.col("element_id").alias(edge_id_col),
         F.col("feedback_weight").alias("_new_weight"),

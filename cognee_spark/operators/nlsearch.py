@@ -34,14 +34,67 @@ NL_SQL_PROMPT_TEMPLATE = (
     "Question: `{question}`"
 )
 
+# 'set' is deliberately NOT here: the head-keyword check already blocks a
+# SET statement, and \bset\b false-positives legitimate SELECTs that merely
+# contain the word (e.g. a column named result_set).
 _FORBIDDEN = re.compile(
-    r"\b(insert|update|delete|drop|create|alter|truncate|merge|grant|set)\b", re.I
+    r"\b(insert|update|delete|drop|create|alter|truncate|merge|grant)\b", re.I
 )
 _TARGETS = re.compile(r"\b(?:from|join)\s+([A-Za-z_][\w.]*)", re.I)
 
 
 class QueryRejected(ValueError):
     pass
+
+
+def _normalize_sql(sql: str) -> str:
+    """Single-pass lexer that blanks string literals (to ``lit``) and strips
+    comments with REAL SQL lexing rules — comment markers inside strings
+    don't count, quotes inside comments don't count, bracketed comments nest
+    (Spark's lexer nests them too). Regex substitution cannot get this
+    ordering right: a quote inside a comment re-pairs around live SQL and
+    hides it from target extraction (the round-3 ADVICE bypass). Unterminated
+    strings/comments are rejected rather than guessed at."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # string literal
+            i += 1
+            while i < n:
+                if sql[i] == "\\" and i + 1 < n:  # backslash escape
+                    i += 2
+                elif sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":  # '' escaped quote
+                        i += 2
+                    else:
+                        break
+                else:
+                    i += 1
+            if i >= n:
+                raise QueryRejected("unterminated string literal")
+            out.append(" lit ")
+            i += 1
+        elif ch == "-" and sql.startswith("--", i):  # line comment
+            while i < n and sql[i] != "\n":
+                i += 1
+            out.append(" ")
+        elif ch == "/" and sql.startswith("/*", i):  # bracketed comment (nests)
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if sql.startswith("/*", i):
+                    depth, i = depth + 1, i + 2
+                elif sql.startswith("*/", i):
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+            if depth:
+                raise QueryRejected("unterminated comment")
+            out.append(" ")
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def schema_description(tables: dict[str, DataFrame]) -> str:
@@ -54,19 +107,29 @@ def schema_description(tables: dict[str, DataFrame]) -> str:
 def validate_generated_sql(sql: str, allowed_views: set[str]) -> None:
     """Guardrails on a generated query (the safety layer the reference's
     graph_engine.query trustingly lacks): one read-only statement over the
-    registered views only."""
+    registered views only.
+
+    Target extraction runs on a NORMALIZED text produced by a one-pass SQL
+    lexer (_normalize_sql): string literals are blanked (quoted text can
+    neither hide nor fake a relation) and comments stripped with correct
+    lexing precedence (``FROM/**/other_table`` is still captured as a
+    target; a quote inside a comment cannot re-pair around live SQL).
+    Backtick-quoted identifiers are rejected outright — the registered
+    ``kg_*`` views never need quoting, and allowing backticks would let
+    ``FROM `other_table``` slip past the identifier regex."""
     stripped = sql.strip().rstrip(";").strip()
-    if ";" in stripped:
+    if "`" in stripped:
+        raise QueryRejected("backtick-quoted identifiers are not allowed")
+    normalized = _normalize_sql(stripped)
+    if ";" in normalized:
         raise QueryRejected("multiple statements are not allowed")
-    head = stripped.split(None, 1)[0].lower() if stripped else ""
+    head = normalized.split(None, 1)[0].lower() if normalized.strip() else ""
     if head not in ("select", "with"):
         raise QueryRejected("only SELECT/WITH queries are allowed")
-    if _FORBIDDEN.search(stripped):
+    if _FORBIDDEN.search(normalized):
         raise QueryRejected("mutating keywords are not allowed")
-    # strip quoted strings so literals can't false-positive as targets
-    unquoted = re.sub(r"'[^']*'", "''", stripped)
-    ctes = {m.group(1).lower() for m in re.finditer(r"\b([A-Za-z_]\w*)\s+as\s*\(", unquoted, re.I)}
-    for m in _TARGETS.finditer(unquoted):
+    ctes = {m.group(1).lower() for m in re.finditer(r"\b([A-Za-z_]\w*)\s+as\s*\(", normalized, re.I)}
+    for m in _TARGETS.finditer(normalized):
         target = m.group(1).lower()
         if target not in allowed_views and target not in ctes and target != "(":
             raise QueryRejected(f"unknown relation {target!r}")

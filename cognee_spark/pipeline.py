@@ -78,8 +78,13 @@ def _ontology_fingerprint(ontology: DataFrame | None) -> str:
     """Content fingerprint of the ontology frame for the stage signature:
     re-running against the same store with a DIFFERENT ontology must
     recompute, not reuse stale alias/triple tables. The ontology is
-    dictionary-sized by contract, so one tiny aggregate (count + order-free
-    xor of per-row hashes) is negligible next to any stage."""
+    dictionary-sized by contract, so two tiny aggregates are negligible next
+    to any stage.
+
+    Order-free but MULTIPLICITY-SENSITIVE: a plain xor of per-row hashes
+    cancels duplicate rows pairwise ({A,A,B,B} and {C,C,D,D} would both
+    collapse to 0), so the xor runs over hash(row_hash, per-row count) after
+    a groupBy — changing any row's multiplicity changes the fingerprint."""
     if ontology is None:
         return "0"
     row_hash = F.conv(
@@ -87,9 +92,13 @@ def _ontology_fingerprint(ontology: DataFrame | None) -> str:
         16,
         10,
     ).cast("long")
-    agg = ontology.select(row_hash.alias("h")).agg(
-        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
-    ).first()
+    agg = (
+        ontology.select(row_hash.alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("n"), F.expr("bit_xor(xxhash64(h, c))").alias("x"))
+        .first()
+    )
     return f"{agg.n}x{agg.x}"
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -120,33 +121,63 @@ class TableStore:
     def _lock_file(self, stage: str) -> str:
         return os.path.join(self.root, "_checkpoints", f"{stage}.lock")
 
-    def acquire_stage_lock(self, stage: str, poll_sec: float = 0.05) -> None:
+    def acquire_stage_lock(
+        self, stage: str, poll_sec: float = 0.05, stale_grace_sec: float = 2.0
+    ) -> None:
         """Same-host exclusive builder lock: concurrent double-submit of one
         stage means exactly one process/thread builds while the others wait
         and read the committed table back — the parquet-store analog of
         Iceberg's optimistic-commit / on_conflict_do_nothing upsert
         (upsert_nodes.py:62-77). A lock whose owner pid is dead is stolen
-        (crash between write and commit must not wedge resume)."""
+        (crash between write and commit must not wedge resume).
+
+        The pid becomes visible ATOMICALLY: it is written to a private temp
+        file first and published with os.link (fails with FileExistsError if
+        the lock is held), so no waiter can ever observe an empty/partial
+        pidfile from a healthy owner. An empty or unparseable pidfile (or
+        owner<=0 — os.kill(0,·) would signal our own process group and never
+        raise, making the stale branch unreachable) can therefore only be
+        debris from a crashed/foreign writer: it is stolen once older than
+        ``stale_grace_sec``."""
         path = self._lock_file(stage)
+        tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
         while True:
+            with open(tmp, "w") as f:
+                f.write(str(os.getpid()))
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
+                os.link(tmp, path)  # atomic publish: content is complete
+                os.remove(tmp)
                 return
             except FileExistsError:
+                os.remove(tmp)
+                owner = None
                 try:
                     with open(path) as f:
-                        owner = int(f.read().strip() or "0")
-                    os.kill(owner, 0)  # raises if the owner is gone
-                except (ProcessLookupError, ValueError, FileNotFoundError):
+                        raw = f.read().strip()
+                    owner = int(raw) if raw else None
+                except (ValueError, FileNotFoundError):
+                    owner = None
+                stale = False
+                if owner is None or owner <= 0:
+                    # not a pid a healthy owner could have published — debris;
+                    # grace period covers clock-skew/foreign-writer races
+                    try:
+                        stale = time.time() - os.path.getmtime(path) > stale_grace_sec
+                    except FileNotFoundError:
+                        continue  # released between read and stat — retry now
+                else:
+                    try:
+                        os.kill(owner, 0)  # raises if the owner is gone
+                    except ProcessLookupError:
+                        stale = True
+                    except PermissionError:
+                        pass  # owner alive under another uid — keep waiting
+                if stale:
                     try:  # stale lock from a crashed builder — steal it
                         os.remove(path)
                     except FileNotFoundError:
                         pass
                     continue
-                except PermissionError:
-                    pass  # owner alive under another uid — keep waiting
                 time.sleep(poll_sec)
 
     def release_stage_lock(self, stage: str) -> None:

@@ -52,6 +52,54 @@ def test_invalid_scores_ignored(spark):
     assert got == _ref_fold([5, 3])
 
 
+def test_incremental_fold_seeds_from_current_weights(spark):
+    """Folding a log in two seeded batches must equal one unseeded fold of
+    the full log — the reference reads each element's CURRENT weight from the
+    graph, so a second batch must not restart from the initial constant."""
+    full = [5, 5, 1, 3, 2, 4]
+    batch1 = spark.createDataFrame(
+        [("a", i, s) for i, s in enumerate(full[:3])],
+        ["element_id", "seq", "feedback_score"],
+    )
+    batch2 = spark.createDataFrame(
+        [("a", i + 3, s) for i, s in enumerate(full[3:])] + [("b", 0, 5)],
+        ["element_id", "seq", "feedback_score"],
+    )
+    w1 = feedback_weight_updates(batch1)
+    w2 = {
+        r.element_id: r.feedback_weight
+        for r in feedback_weight_updates(batch2, current=w1).collect()
+    }
+    assert w2["a"] == _ref_fold(full)
+    assert w2["b"] == _ref_fold([5])  # unseen element seeds from the initial
+    # and WITHOUT seeding, batch 2 alone diverges (restarts from 0.5)
+    unseeded = {
+        r.element_id: r.feedback_weight
+        for r in feedback_weight_updates(batch2).collect()
+    }
+    assert unseeded["a"] != _ref_fold(full)
+
+
+def test_incremental_write_back_roundtrip(spark):
+    """Edge table → fold batch 1 → write back → fold batch 2 seeded from the
+    edge table's stored weights → write back == one full-log fold."""
+    edges = spark.createDataFrame(
+        [("e1", 0.5), ("e2", 0.5)], ["edge_object_id", "feedback_weight"]
+    )
+    logs = [[("e1", 0, 5), ("e1", 1, 5)], [("e1", 2, 1), ("e1", 3, 1)]]
+    for batch in logs:
+        log = spark.createDataFrame(batch, ["element_id", "seq", "feedback_score"])
+        current = edges.select(
+            F.col("edge_object_id").alias("element_id"), "feedback_weight"
+        )
+        edges = apply_feedback_to_edges(
+            edges, feedback_weight_updates(log, current=current)
+        )
+    out = {r.edge_object_id: r.feedback_weight for r in edges.collect()}
+    assert out["e1"] == _ref_fold([5, 5, 1, 1])
+    assert out["e2"] == 0.5
+
+
 def test_write_back_and_reranking(spark):
     """Negative feedback on one edge must demote it in top-k retrieval; edges
     without feedback keep the default weight."""

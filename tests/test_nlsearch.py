@@ -42,6 +42,37 @@ def test_guardrails():
         validate_generated_sql("SELECT * FROM kg_nodes WHERE kind = (DELETE)", allowed)
 
 
+def test_guardrails_comment_and_backtick_bypasses_closed():
+    """The round-3 ADVICE holes: backtick-quoted relations and comment-hidden
+    targets must not slip past target extraction, and the word 'set' inside a
+    legitimate SELECT must not false-positive."""
+    allowed = {"kg_nodes", "kg_triples"}
+    # backtick-quoted relation escaped the bare-identifier regex
+    with pytest.raises(QueryRejected):
+        validate_generated_sql("SELECT * FROM `other_table`", allowed)
+    with pytest.raises(QueryRejected):
+        validate_generated_sql("SELECT * FROM `kg_nodes`", allowed)  # no backticks at all
+    # block comment between FROM and the target hid it from extraction
+    with pytest.raises(QueryRejected):
+        validate_generated_sql("SELECT * FROM/**/other_table", allowed)
+    with pytest.raises(QueryRejected):
+        validate_generated_sql("SELECT * FROM /* x */ other_table", allowed)
+    # comments around an ALLOWED target still validate
+    validate_generated_sql("SELECT * FROM /* the graph */ kg_nodes", allowed)
+    validate_generated_sql("SELECT * FROM kg_nodes -- trailing note", allowed)
+    # a quote inside a comment could re-pair around live SQL — rejected
+    with pytest.raises(QueryRejected):
+        validate_generated_sql(
+            "SELECT a FROM kg_nodes /* ' */ UNION SELECT * FROM secret /* ' */",
+            allowed,
+        )
+    # 'set' as a plain word is legitimate (head check still blocks SET stmts)
+    validate_generated_sql("SELECT result_set FROM kg_nodes", allowed)
+    validate_generated_sql("SELECT * FROM kg_nodes WHERE name = 'set'", allowed)
+    with pytest.raises(QueryRejected):
+        validate_generated_sql("SET spark.x = 1", allowed)
+
+
 def test_generated_query_answers_question(spark, graph):
     out = natural_language_search(
         spark, graph, "how many function nodes", template_sql_generator()

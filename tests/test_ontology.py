@@ -96,3 +96,25 @@ def test_pipeline_with_ontology(spark, tmp_path):
     assert ("zephyrontologyservice", "uses", "quokkaregistry") in triples
     assert ("zephyrontologyservice", "extends", "maplehub") in triples
     assert ("zephyrontologyservice", "is_a", "cloudservice") in triples
+
+
+def test_ontology_fingerprint_is_multiplicity_sensitive(spark):
+    """Round-3 ADVICE: a plain xor of per-row hashes cancels even-multiplicity
+    rows pairwise ({A,A,B,B} vs {C,C,D,D} → same signature → stale-table
+    reuse). The fingerprint must distinguish content AND multiplicity."""
+    from cognee_spark.pipeline import _ontology_fingerprint
+
+    cols = "name string, canonical string, parent string"
+    a = ("A", "A", None)
+    b = ("B", "B", None)
+    c = ("C", "C", None)
+    d = ("D", "D", None)
+    fp = lambda rows: _ontology_fingerprint(spark.createDataFrame(rows, cols))
+    # the xor-cancellation pair: both all-even multiplicities, same n
+    assert fp([a, a, b, b]) != fp([c, c, d, d])
+    # multiplicity change alone must change the fingerprint
+    assert fp([a, b]) != fp([a, a, b, b])
+    assert fp([a, a, b]) != fp([a, b, b])
+    # order-free: same multiset → same fingerprint
+    assert fp([a, b, a]) == fp([a, a, b])
+    assert fp([a, b]) == fp([b, a])

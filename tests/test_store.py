@@ -43,6 +43,72 @@ def test_exists_requires_success_marker(tmp_path):
     assert store.exists("t")
 
 
+def test_empty_pidfile_lock_is_stolen_not_wedged(tmp_path):
+    """Round-3 ADVICE: an empty/unparseable pidfile (crashed writer debris)
+    parsed to owner=0, and os.kill(0, 0) signals our own process group — it
+    never raises, so the stale branch was unreachable and every waiter spun
+    forever. Now: owner<=0/unparseable + older than the grace period → steal.
+    The acquire path itself can no longer produce an empty pidfile (the pid
+    is published atomically via link), so this only ever covers debris."""
+    import time as _time
+
+    store = TableStore(str(tmp_path))
+    for debris in ("", "not-a-pid", "0", "-7"):
+        path = store._lock_file("s")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(debris)
+        old = _time.time() - 60
+        os.utime(path, (old, old))  # older than the grace period
+        t0 = _time.time()
+        store.acquire_stage_lock("s", stale_grace_sec=2.0)
+        assert _time.time() - t0 < 2.0  # stolen immediately, no wedge
+        with open(path) as f:  # and OUR pid is now visible, atomically
+            assert int(f.read()) == os.getpid()
+        store.release_stage_lock("s")
+
+
+def test_fresh_debris_waits_for_grace_then_steals(tmp_path):
+    """An empty pidfile NEWER than the grace period is ambiguous (could be a
+    foreign writer mid-flight) — the waiter polls until the grace elapses,
+    then steals. Bounds the wedge to the grace window instead of forever."""
+    import time as _time
+
+    store = TableStore(str(tmp_path))
+    path = store._lock_file("s")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    open(path, "w").close()  # empty, mtime = now
+    t0 = _time.time()
+    store.acquire_stage_lock("s", poll_sec=0.05, stale_grace_sec=0.5)
+    waited = _time.time() - t0
+    assert 0.4 <= waited < 5.0
+    store.release_stage_lock("s")
+
+
+def test_live_owner_lock_still_blocks(tmp_path):
+    """A lock held by a live pid (our own) must still make waiters wait —
+    the stale-steal fix must not turn real locks stealable."""
+    import threading
+    import time as _time
+
+    store = TableStore(str(tmp_path))
+    store.acquire_stage_lock("s")
+    acquired = threading.Event()
+
+    def waiter():
+        store.acquire_stage_lock("s", poll_sec=0.02)
+        acquired.set()
+
+    t = threading.Thread(target=waiter, daemon=True)
+    t.start()
+    _time.sleep(0.3)
+    assert not acquired.is_set()  # blocked while held
+    store.release_stage_lock("s")
+    t.join(timeout=5)
+    assert acquired.is_set()  # acquired after release
+    store.release_stage_lock("s")
+
+
 # --- Iceberg-semantics tests (SURVEY §8: what MERGE/snapshot-rollback means
 # over the parquet stand-in). Each maps to a reference behavior:
 #   concurrent double-submit  ↔ upsert on_conflict_do_nothing (upsert_nodes.py:62-77)
