@@ -466,6 +466,66 @@ GROUP BY 1, 2
 """
 
 
+_TEMPORAL_QUESTION = "What happened from 2024-01-08 to 2024-01-14?"
+
+
+def temporal_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SearchType TEMPORAL (temporal_retriever.py:89-173): the question goes
+    through the REAL query-interval parser (extract_query_interval — the
+    reference's extract_time_from_query seam), the parsed window filters the
+    event store with a native range predicate, events are ranked ascending by
+    a deterministic md5 relevance score (the vector-search lookup's
+    replayable twin), top-20 with rank. Parser edge cases are pinned by
+    tests/test_temporal.py; this oracle replays everything downstream of the
+    parse."""
+    from cognee_spark.operators.temporal import (
+        extract_query_interval,
+        temporal_topk_events,
+    )
+
+    starts_at, ends_at = extract_query_interval(_TEMPORAL_QUESTION)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat("event_type", F.lit(" by user "), F.col("user_id").cast("string"))
+        .alias("description"),
+        F.col("ts").alias("time_from"),
+    )
+    scores = ev.select(
+        "event_id",
+        F.round(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(_TEMPORAL_QUESTION + ":"), F.col("event_id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(0xFFFFFFFF)),
+            9,
+        ).alias("score"),
+    )
+    top = temporal_topk_events(ev, scores, starts_at, ends_at, k=20, to_col=None)
+    return top.select("rank", "event_id", "description", "score")
+
+
+_TEMPORAL_COMPLETION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type || ' by user ' || user_id AS description, ts
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+),
+scored AS (
+  SELECT event_id, description,
+         round(('0x' || substr(md5('{_TEMPORAL_QUESTION}:' || event_id), 1, 8))::UBIGINT
+               / 4294967295.0, 9) AS score
+  FROM ev
+)
+SELECT rank, event_id, description, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score, event_id) AS rank FROM scored
+) WHERE rank <= 20
+"""
+
+
 # --- retrieval operators (R2/R4/R5) ---------------------------------------------------
 
 
@@ -1202,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": lineitem_pricing,
         "top_event_per_user": top_event_per_user,
         "temporal_interval": temporal_interval,
+        "temporal_completion": temporal_completion,
         "khop_words": khop_words,
         "bm25_topk": bm25_topk,
         "doc_summaries": doc_summaries,
@@ -1250,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": _PRICING_SQL,
         "top_event_per_user": _TOP_EVENT_SQL,
         "temporal_interval": _TEMPORAL_SQL,
+        "temporal_completion": _TEMPORAL_COMPLETION_SQL,
         "khop_words": _KHOP_SQL,
         "bm25_topk": _BM25_SQL,
         "doc_summaries": _SUMMARIES_SQL,
