@@ -466,6 +466,49 @@ GROUP BY 1, 2
 """
 
 
+def translated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation pre-processing stage (translate_content.py:17-180): detect
+    via the row's language metadata (source_language path, confidence 1.0),
+    translate es/fr/de through the deterministic dictionary provider double,
+    pass languages without a dictionary through, keep content_sha keyed on
+    the ORIGINAL bytes. Pure codegen projection — fuses into the scan."""
+    from cognee_spark.operators.translation import translate_chunks as tc
+
+    docs = _t(spark, sf_dir, "documents").withColumn("content_sha", F.sha2("text", 256))
+    out = tc(docs, text_col="text", id_col="doc_id", lang_col="lang",
+             preserve_original=False)
+    return out.select(
+        "doc_id",
+        "detected_language",
+        "requires_translation",
+        F.col("text").alias("translated_text"),
+        "content_sha",
+    )
+
+
+def _translate_case_sql() -> str:
+    from cognee_spark.operators.translation import TRANSLATION_DICTS
+
+    branches = []
+    for lang, mapping in TRANSLATION_DICTS.items():
+        entries = "".join(f" WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
+        branches.append(
+            f"WHEN lang = '{lang}' THEN array_to_string(list_transform("
+            f"string_split(text, ' '), w -> coalesce(CASE lower(w){entries} END, w)), ' ')"
+        )
+    return "CASE " + " ".join(branches) + " ELSE text END"
+
+
+_TRANSLATED_SQL = f"""
+SELECT doc_id,
+       lang AS detected_language,
+       lang NOT IN ('en', 'unknown') AS requires_translation,
+       {_translate_case_sql()} AS translated_text,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
 _TEMPORAL_QUESTION = "What happened from 2024-01-08 to 2024-01-14?"
 
 
@@ -1263,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_per_user": top_event_per_user,
         "temporal_interval": temporal_interval,
         "temporal_completion": temporal_completion,
+        "translated_chunks": translated_chunks,
         "khop_words": khop_words,
         "bm25_topk": bm25_topk,
         "doc_summaries": doc_summaries,
@@ -1312,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "top_event_per_user": _TOP_EVENT_SQL,
         "temporal_interval": _TEMPORAL_SQL,
         "temporal_completion": _TEMPORAL_COMPLETION_SQL,
+        "translated_chunks": _TRANSLATED_SQL,
         "khop_words": _KHOP_SQL,
         "bm25_topk": _BM25_SQL,
         "doc_summaries": _SUMMARIES_SQL,
