@@ -466,6 +466,62 @@ GROUP BY 1, 2
 """
 
 
+def orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention GC dry-run (cleanup_unused_data.py:27-146): documents with a
+    synthetic last_accessed older than the cutoff are unused; word-entities
+    and doc→word mention edges referenced ONLY by unused documents are the
+    orphan cascade. unused_documents does the cutoff selection, the cascade
+    is the same semi/anti-join shape as gc_graph, cleanup_report renders the
+    (table, total, kept, orphaned) preview rows."""
+    from cognee_spark.operators.cleanup import cleanup_report, unused_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "last_accessed",
+        F.to_timestamp(F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 30).cast("int"))),
+    )
+    unused = unused_documents(docs, "2024-01-10 00:00:00", id_col="doc_id")
+    live = docs.join(unused, "doc_id", "left_anti")
+    refs = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.length("word") > 5)
+        .distinct()
+    )
+    nodes = refs.select("word").distinct()
+    kept_refs = refs.join(live.select("doc_id"), "doc_id", "left_semi")
+    kept_nodes = kept_refs.select("word").distinct()
+    return cleanup_report(
+        {"documents": docs, "mention_edges": refs, "nodes": nodes},
+        {"documents": live, "mention_edges": kept_refs, "nodes": kept_nodes},
+    )
+
+
+_ORPHAN_COUNTS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         (DATE '2024-01-01' + INTERVAL (doc_id % 30) DAY) < TIMESTAMP '2024-01-10 00:00:00'
+             AS unused
+  FROM documents
+),
+refs AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+  WHERE length(w) > 5
+),
+live_refs AS (SELECT refs.* FROM refs JOIN d USING (doc_id) WHERE NOT d.unused)
+SELECT 'documents' AS table_name, count(*) AS n_total,
+       count(*) FILTER (WHERE NOT unused) AS n_kept,
+       count(*) FILTER (WHERE unused) AS n_orphaned
+FROM d
+UNION ALL
+SELECT 'mention_edges', (SELECT count(*) FROM refs), (SELECT count(*) FROM live_refs),
+       (SELECT count(*) FROM refs) - (SELECT count(*) FROM live_refs)
+UNION ALL
+SELECT 'nodes', (SELECT count(DISTINCT word) FROM refs),
+       (SELECT count(DISTINCT word) FROM live_refs),
+       (SELECT count(DISTINCT word) FROM refs) - (SELECT count(DISTINCT word) FROM live_refs)
+"""
+
+
 def translated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Translation pre-processing stage (translate_content.py:17-180): detect
     via the row's language metadata (source_language path, confidence 1.0),
@@ -1307,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_interval": temporal_interval,
         "temporal_completion": temporal_completion,
         "translated_chunks": translated_chunks,
+        "orphan_counts": orphan_counts,
         "khop_words": khop_words,
         "bm25_topk": bm25_topk,
         "doc_summaries": doc_summaries,
@@ -1357,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_interval": _TEMPORAL_SQL,
         "temporal_completion": _TEMPORAL_COMPLETION_SQL,
         "translated_chunks": _TRANSLATED_SQL,
+        "orphan_counts": _ORPHAN_COUNTS_SQL,
         "khop_words": _KHOP_SQL,
         "bm25_topk": _BM25_SQL,
         "doc_summaries": _SUMMARIES_SQL,

@@ -1,0 +1,192 @@
+"""Cleanup / retention GC — the reference's cleanup task
+(cognee/tasks/cleanup/cleanup_unused_data.py:27-172): find documents whose
+last_accessed is older than the cutoff (or never set), delete them in "hard"
+mode — which also removes the graph/vector elements that are no longer
+referenced by ANY remaining document — with a dry-run mode that only counts.
+
+Spark re-expression: the whole sweep is a cascade of semi/anti joins rooted
+at the live-document set, so it runs as ordinary shuffles (or broadcasts,
+when the live set is small) with no driver iteration — the reference loops
+``cognee.delete()`` per document, which is exactly the shape that cannot
+survive a 100 TB store. Deletes are NEW table commits through the store
+(run_stage writes a fresh stage table + checkpoint row), never in-place
+mutation, so store.rollback_to(<pre-GC stage>) undoes a sweep — the
+parquet-store analog of Iceberg snapshot-expire semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unused_documents(
+    data: DataFrame,
+    cutoff: str,
+    id_col: str = "document_id",
+    last_accessed_col: str = "last_accessed",
+) -> DataFrame:
+    """Documents unused since ``cutoff`` — the _cleanup_via_sql query
+    (cleanup_unused_data.py:117-123): last_accessed < cutoff OR never
+    accessed (NULL). Returns the id column only (the delete driver set)."""
+    la = F.col(last_accessed_col)
+    return data.where(
+        la.isNull() | (la < F.to_timestamp(F.lit(cutoff)))
+    ).select(F.col(id_col))
+
+
+def gc_graph(
+    live_docs: DataFrame,
+    chunks: DataFrame,
+    mentions: DataFrame,
+    nodes: DataFrame,
+    triples: DataFrame,
+    embeddings: DataFrame | None = None,
+    summaries: DataFrame | None = None,
+    doc_col: str = "content_sha",
+    chunk_doc_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """Hard-delete cascade: everything not reachable from a live document is
+    an orphan (cognee.delete mode="hard" — "also remove orphaned entities").
+
+    Reachability, each step one semi-join:
+      live docs → their chunks → the mentions in those chunks → the entity
+      NAMES still referenced → live nodes → live triples (BOTH endpoints
+      live) → live embeddings (item_id still among live node/type ids — a
+      collection whose item vanished is swept with it).
+
+    Returns {"chunks", "mentions", "nodes", "triples", "embeddings"} → the
+    KEPT frames; orphans are (table minus kept), materialized by the caller
+    if it wants them (cleanup_report counts both sides). Shuffles are keyed
+    on the same id columns the pipeline already uses; at a 100 TB store the
+    live-name/live-id dictionaries are the small side and broadcast.
+    """
+    chunk_doc = chunk_doc_col or doc_col
+    live = live_docs.select(F.col(doc_col)).distinct()
+    # semi-joins move the key column to the front; every kept frame re-selects
+    # the ORIGINAL column order so a sweep is row-removal only, bit-for-bit
+    kept_chunks = chunks.join(
+        live.withColumnRenamed(doc_col, chunk_doc), chunk_doc, "left_semi"
+    ).select(*chunks.columns)
+    kept_mentions = mentions.join(
+        kept_chunks.select("chunk_id").distinct(), "chunk_id", "left_semi"
+    ).select(*mentions.columns)
+    live_names = kept_mentions.select(
+        F.col("canonical_name").alias("name")
+    ).distinct()
+    kept_nodes = nodes.join(live_names, "name", "left_semi").select(*nodes.columns)
+    kept_node_names = kept_nodes.select("name").distinct()
+    kept_triples = (
+        triples.join(kept_node_names.withColumnRenamed("name", "subj"), "subj", "left_semi")
+        .join(kept_node_names.withColumnRenamed("name", "obj"), "obj", "left_semi")
+        .select(*triples.columns)
+    )
+    out = {
+        "chunks": kept_chunks,
+        "mentions": kept_mentions,
+        "nodes": kept_nodes,
+        "triples": kept_triples,
+    }
+    if summaries is not None:
+        out["summaries"] = summaries.join(
+            kept_chunks.select("chunk_id").distinct(), "chunk_id", "left_semi"
+        ).select(*summaries.columns)
+    if embeddings is not None:
+        live_ids = (
+            kept_nodes.select(F.col("entity_id").alias("item_id"))
+            .union(
+                kept_nodes.select(F.col("kind")).distinct().select(
+                    _type_id(F.col("kind")).alias("item_id")
+                )
+            )
+            .union(
+                kept_triples.select(F.col("pred")).distinct().select(
+                    _edge_type_id(F.col("pred")).alias("item_id")
+                )
+            )
+        )
+        if "summaries" in out:
+            live_ids = live_ids.union(
+                out["summaries"].select(F.col("summary_id").alias("item_id"))
+            )
+        out["embeddings"] = embeddings.join(
+            live_ids.distinct(), "item_id", "left_semi"
+        ).select(*embeddings.columns)
+    return out
+
+
+def _type_id(kind):
+    from cognee_spark.functions.ids import id_for_col
+
+    return id_for_col("EntityType", kind)
+
+
+def _edge_type_id(pred):
+    from cognee_spark.functions.ids import id_for_col
+
+    return id_for_col("EdgeType", pred)
+
+
+def cleanup_report(
+    originals: dict[str, DataFrame], kept: dict[str, DataFrame]
+) -> DataFrame:
+    """(table_name, n_total, n_kept, n_orphaned) — the dry_run=True preview
+    (cleanup_unused_data.py:138-146) as one frame; counts are distributed
+    aggregates unioned driver-side (one tiny row per table)."""
+    rows = None
+    for name, df in sorted(originals.items()):
+        total = df.select(F.count(F.lit(1)).alias("n_total"))
+        kept_n = kept[name].select(F.count(F.lit(1)).alias("n_kept"))
+        row = (
+            total.crossJoin(kept_n)
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_total",
+                "n_kept",
+                (F.col("n_total") - F.col("n_kept")).alias("n_orphaned"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def cleanup_unused_data(
+    store,
+    spark,
+    tables: dict[str, DataFrame],
+    data: DataFrame,
+    cutoff: str,
+    dry_run: bool = True,
+    signature: str = "gc",
+    doc_col: str = "content_sha",
+) -> dict:
+    """Store-integrated sweep: compute the kept frames, and (unless dry_run)
+    commit each as a NEW ``gc_<table>`` stage through run_stage — deletes are
+    a new commit, never in-place, so store.rollback_to(...) undoes the sweep.
+
+    ``data`` must carry (doc_col, last_accessed). Returns
+    {"report": DataFrame, "kept": {...}, "committed": [stage names]}.
+    """
+    from cognee_spark.store import run_stage
+
+    la = F.col("last_accessed")
+    live_docs = data.where(la.isNotNull() & (la >= F.to_timestamp(F.lit(cutoff))))
+    kept = gc_graph(
+        live_docs,
+        tables["chunks"],
+        tables["mentions"],
+        tables["nodes"],
+        tables["triples"],
+        embeddings=tables.get("embeddings"),
+        summaries=tables.get("summaries"),
+        doc_col=doc_col,
+    )
+    originals = {k: tables[k] for k in kept}
+    report = cleanup_report(originals, kept)
+    committed: list[str] = []
+    if not dry_run:
+        for name, frame in kept.items():
+            stage = f"gc_{name}"
+            run_stage(store, spark, stage, signature, lambda frame=frame: frame)
+            committed.append(stage)
+    return {"report": report, "kept": kept, "committed": committed}
