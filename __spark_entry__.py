@@ -695,6 +695,39 @@ SELECT doc_id, bm25, rank FROM (
 """
 
 
+_LEXICAL_QUERY = "spark query data stream"
+
+
+def lexical_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retriever (lexical_retriever.py:15-135): \\w+ tokenization both
+    sides, jaccard set score per document, heapq.nlargest top-15 — explode +
+    semi-joined aggregate + TakeOrderedAndProject, no driver token dict."""
+    from cognee_spark.operators.retrieval import lexical_topk
+
+    return lexical_topk(_t(spark, sf_dir, "documents"), _LEXICAL_QUERY, top_k=15)
+
+
+_LEXICAL_SQL = r"""
+WITH tokens AS (
+  SELECT DISTINCT doc_id, w AS term
+  FROM documents, unnest(string_split_regex(lower(text), '\W+')) AS t(w)
+  WHERE w <> ''
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE term IN ('data', 'query', 'spark', 'stream')) AS n_matched
+  FROM tokens GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, round(n_matched / CAST(n_tokens + 4 - n_matched AS DOUBLE), 9) AS score
+  FROM per_doc WHERE n_matched > 0
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored
+) WHERE rank <= 15
+"""
+
+
 def doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractive summaries (E4 stand-in): first sentence else prefix."""
     docs = _t(spark, sf_dir, "documents")
@@ -782,7 +815,9 @@ def _ensure_golden_parquet() -> str:
 
     import pandas as pd
 
-    marker = os.path.join(_KG_GOLDEN_DIR, f"_DONE_{_KG_FILES}")
+    # v2: + triplet_search.parquet (marker versioned so a stale /tmp cache
+    # from an earlier round regenerates)
+    marker = os.path.join(_KG_GOLDEN_DIR, f"_DONE_{_KG_FILES}_v2")
     if os.path.exists(marker):
         return _KG_GOLDEN_DIR
     from cognee_spark.sources.golden import (
@@ -791,6 +826,7 @@ def _ensure_golden_parquet() -> str:
         golden_entity_search,
         golden_nodes,
         golden_triples,
+        golden_triplet_search,
     )
 
     os.makedirs(_KG_GOLDEN_DIR, exist_ok=True)
@@ -812,6 +848,10 @@ def _ensure_golden_parquet() -> str:
         golden_entity_search(_KG_FILES, _KG_SEARCH_QUERY, k=5),
         columns=["rank", "item_id", "name"],
     ).to_parquet(os.path.join(_KG_GOLDEN_DIR, "entity_search.parquet"))
+    pd.DataFrame(
+        golden_triplet_search(_KG_FILES, _KG_SEARCH_QUERY, k=5),
+        columns=["rank", "item_id", "text"],
+    ).to_parquet(os.path.join(_KG_GOLDEN_DIR, "triplet_search.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
     return _KG_GOLDEN_DIR
@@ -872,6 +912,31 @@ def kg_code_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KG_CODE_SEARCH_SQL = f"""
 SELECT entity_id, name, kind FROM read_parquet('{_KG_GOLDEN_DIR}/nodes.parquet')
 WHERE kind IN ('function', 'class', 'method', 'module') AND name LIKE '%.fn\\_1\\_%' ESCAPE '\\'
+"""
+
+
+def triplet_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memify create_triplet_embeddings + R1: materialize the Triplet_text
+    embedding collection from the engine's own triples (text =
+    'start-›rel-›end', id = generate_node_id(start_id+rel+end_id)), then
+    brute-force cosine top-5 for the standard search query. Oracle: the
+    pure-Python golden twin recomputes collection and search independently."""
+    from cognee_spark.functions.embeddings import hash_embedding_py
+    from cognee_spark.operators.indexing import build_triplet_index
+    from cognee_spark.operators.similarity_search import brute_force_topk
+
+    idx = build_triplet_index(_kg_tables(spark)["triples"].select("subj", "pred", "obj"))
+    qv = hash_embedding_py(_KG_SEARCH_QUERY)
+    queries = spark.createDataFrame([("q0", qv)], ["query_id", "query_vec"])
+    top = brute_force_topk(idx, queries, k=5, id_col="item_id", vec_col="embedding")
+    texts = idx.select(F.col("item_id").alias("vec_id"), "text")
+    return top.join(texts, "vec_id").select(
+        "rank", F.col("vec_id").alias("item_id"), "text"
+    )
+
+
+_TRIPLET_EMBED_SQL = f"""
+SELECT rank, item_id, text FROM read_parquet('{_KG_GOLDEN_DIR}/triplet_search.parquet')
 """
 
 
@@ -1366,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_counts": orphan_counts,
         "khop_words": khop_words,
         "bm25_topk": bm25_topk,
+        "lexical_topk": lexical_topk_q,
+        "triplet_embedding_topk": triplet_embedding_topk,
         "doc_summaries": doc_summaries,
         "doc_titles": doc_titles,
         "kg_triples": kg_triples,
@@ -1417,6 +1484,8 @@ def oracle_sql() -> dict[str, str]:
         "orphan_counts": _ORPHAN_COUNTS_SQL,
         "khop_words": _KHOP_SQL,
         "bm25_topk": _BM25_SQL,
+        "lexical_topk": _LEXICAL_SQL,
+        "triplet_embedding_topk": _TRIPLET_EMBED_SQL,
         "doc_summaries": _SUMMARIES_SQL,
         "doc_titles": _TITLES_SQL,
         "simhash_signatures": _SIMHASH_SQL,

@@ -70,3 +70,31 @@ def build_index(
     return out.dropDuplicates(["collection", "item_id"]).withColumn(
         "embedding", hash_embedding_col(F.col("text"), dim=dim)
     )
+
+
+def build_triplet_index(triples: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
+    """Triplet-embedding collection — the memify create_triplet_embeddings
+    pipeline (cognee/memify_pipelines/create_triplet_embeddings.py +
+    cognee/tasks/memify/get_triplet_datapoints.py:100-167): each graph edge
+    becomes a Triplet datapoint whose embeddable text is
+    ``{start_text}-›{rel_text}-›{end_text}`` (node texts from their
+    index_fields — Entity.name here — relationship text from the edge) and
+    whose id is generate_node_id(start_id + relationship_name + end_id);
+    Triplet.metadata.index_fields = ["text"], so the collection is
+    ``Triplet_text``. The reference pages the graph through the driver in
+    batches of 100 (get_triplets_batch offset/limit) — here the whole build
+    is one narrow projection over the triples table; dedup by item_id is the
+    same upsert-by-deterministic-id the other collections use."""
+    from cognee_spark.functions.ids import node_id_col
+
+    start_id = id_for_col("Entity", F.col("subj"))
+    end_id = id_for_col("Entity", F.col("obj"))
+    return (
+        triples.select(
+            F.lit("Triplet_text").alias("collection"),
+            node_id_col(F.concat(start_id, F.col("pred"), end_id)).alias("item_id"),
+            F.concat_ws("-›", "subj", "pred", "obj").alias("text"),
+        )
+        .dropDuplicates(["collection", "item_id"])
+        .withColumn("embedding", hash_embedding_col(F.col("text"), dim=dim))
+    )

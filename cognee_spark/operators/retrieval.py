@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -349,6 +351,96 @@ def decomposition_completion(
         "context_lines": lines,
         "triplets": merged,
     }
+
+
+LEXICAL_STOP_WORDS: frozenset[str] = frozenset()  # reference default: None
+
+
+def lexical_topk(
+    docs: DataFrame,
+    query: str,
+    top_k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stop_words: frozenset[str] | set[str] = LEXICAL_STOP_WORDS,
+    scorer: str = "jaccard",
+) -> DataFrame:
+    """Lexical retriever (lexical_retriever.py:15-135): tokenize_words both
+    sides (lowercase ``\\w+`` tokens minus stop words), score each document's
+    token set against the query's, keep the top_k HIGHEST scores
+    (heapq.nlargest). Scorers (the reference injects one; these are the two
+    obvious set scorers): 'jaccard' = |D∩Q| / |D∪Q|, 'overlap' = |D∩Q|.
+
+    The reference materializes every chunk's tokens into a driver dict and
+    loops; here tokenization is explode+distinct, the intersection size is a
+    semi-joined aggregate, and the top-k is TakeOrderedAndProject — no state
+    grows with the corpus. Ties break (score desc, doc_id asc); zero-score
+    documents are dropped (never ranked above missing)."""
+    q_tokens = sorted(set(re.findall(r"\w+", query.lower())) - set(stop_words))
+    tokens = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    if stop_words:
+        tokens = tokens.where(~F.col("term").isin(*sorted(stop_words)))
+    tokens = tokens.distinct()
+    q = F.array(*[F.lit(t) for t in q_tokens])
+    per_doc = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.array_contains(q, F.col("term")).cast("int")).alias("n_matched"),
+    )
+    if scorer == "jaccard":
+        score = F.col("n_matched") / (
+            F.col("n_tokens") + F.lit(len(q_tokens)) - F.col("n_matched")
+        )
+    elif scorer == "overlap":
+        score = F.col("n_matched").cast("double")
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
+    scored = per_doc.select(
+        "doc_id", F.round(score, 9).alias("score")
+    ).where(F.col("score") > 0)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def summarize_text_py(text: str, max_len: int = 160) -> str:
+    """Deterministic extractive stand-in for the reference's summarize_text
+    LLM call (modules/retrieval/utils/completion.py) — first sentence,
+    truncated; the SAME rule enrich.summarize_chunks applies, so summary
+    semantics are uniform across the engine. The LLM swap is the ``llm``
+    parameter on graph_summary_completion_context."""
+    m = re.match(r"^(.*?[.;!?…。！？])", text, re.S)
+    summary = m.group(1) if m else text[:max_len]
+    return summary[:max_len]
+
+
+def graph_summary_completion_context(
+    triples: DataFrame,
+    node_distances: DataFrame,
+    question: str,
+    k: int = 5,
+    llm=None,
+) -> str:
+    """Graph-summary completion (graph_summary_completion_retriever.py:55-73):
+    identical retrieval to R7 (score → top-k → resolve_edges_to_text), but the
+    context lines are SUMMARIZED before prompt assembly — the parent's
+    resolve_edges_to_text output goes through summarize_text. ``llm(kind,
+    prompt) -> str`` with kind='summarize' is the serving seam; default is
+    the deterministic extractive rule (summarize_text_py)."""
+    top = top_k_triplets(score_triplets(triples, node_distances), k=k)
+    ctx = resolve_edges_to_text(top, keep=("rank",))
+    rows = ctx.select("rank", "context_line").orderBy("rank").collect()
+    direct_text = "\n---\n".join(r.context_line for r in rows)
+    if llm is not None:
+        summary = llm("summarize", direct_text)
+    else:
+        summary = summarize_text_py(direct_text)
+    return COMPLETION_PROMPT_TEMPLATE.format(question=question, context=summary)
 
 
 def rrf_fuse(

@@ -318,3 +318,25 @@ def golden_entity_search(n_files: int, query: str, k: int = 5) -> list[tuple[int
     ]
     scored.sort(key=lambda t: (-t[0], t[1]))
     return [(rank + 1, eid, name) for rank, (_c, eid, name) in enumerate(scored[:k])]
+
+
+def golden_triplet_search(n_files: int, query: str, k: int = 5) -> list[tuple[int, str, str]]:
+    """(rank, item_id, text) top-k triplet texts by hash-embedding cosine —
+    independent twin of indexing.build_triplet_index + brute_force_topk (the
+    memify create_triplet_embeddings collection queried as R1). Triplet id =
+    generate_node_id(start_id + rel + end_id), text = 'start-›rel-›end'
+    (get_triplet_datapoints.py:158-165)."""
+    from cognee_spark.functions.embeddings import cosine_py, hash_embedding_py
+    from cognee_spark.functions.ids import id_for_py, node_id_py
+
+    qv = hash_embedding_py(query)
+    items: dict[str, str] = {}
+    for subj, pred, obj in golden_triples(n_files):
+        tid = node_id_py(id_for_py("Entity", subj) + pred + id_for_py("Entity", obj))
+        items[tid] = f"{subj}-›{pred}-›{obj}"
+    scored = [
+        (cosine_py(hash_embedding_py(text), qv), tid, text)
+        for tid, text in items.items()
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [(rank + 1, tid, text) for rank, (_c, tid, text) in enumerate(scored[:k])]

@@ -246,3 +246,88 @@ def test_decomposition_merges_subquery_edges(spark):
     rows = {(r.subj, r.obj) for r in out["triplets"].collect()}
     assert rows == {("a", "b"), ("c", "d")}  # merged, deduplicated
     assert len(out["context_lines"]) == 2
+
+
+def test_lexical_topk_jaccard_and_overlap(spark):
+    from cognee_spark.operators.retrieval import lexical_topk
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "Spark runs the query fast"),       # {spark,runs,the,query,fast}
+            ("d2", "the query planner"),               # {the,query,planner}
+            ("d3", "unrelated words entirely"),
+            ("d4", "spark query"),                     # exact token set match
+        ],
+        ["doc_id", "text"],
+    )
+    top = lexical_topk(docs, "Spark QUERY", top_k=10).collect()
+    got = [(r.rank, r.doc_id) for r in sorted(top, key=lambda r: r.rank)]
+    # d4: 2/2 → 1.0; d1: 2/5; d2: 1/4; d3: 0 → dropped
+    assert got == [(1, "d4"), (2, "d1"), (3, "d2")]
+    scores = {r.doc_id: r.score for r in top}
+    assert scores["d4"] == 1.0 and scores["d1"] == 0.4 and scores["d2"] == 0.25
+
+    # overlap scorer: d1 and d4 tie on |D∩Q|=2 → doc_id breaks the tie
+    ov = lexical_topk(docs, "Spark QUERY", top_k=10, scorer="overlap").collect()
+    assert [(r.rank, r.doc_id) for r in sorted(ov, key=lambda r: r.rank)] == [
+        (1, "d1"), (2, "d4"), (3, "d2"),
+    ]
+
+    # stop words drop from BOTH sides (tokenize_words contract)
+    sw = lexical_topk(docs, "the spark query", top_k=10, stop_words={"the"}).collect()
+    assert {r.doc_id: r.score for r in sw}["d4"] == 1.0
+
+
+def test_graph_summary_completion_summarizes_context(spark):
+    from cognee_spark.operators.retrieval import (
+        graph_summary_completion_context,
+        summarize_text_py,
+    )
+
+    triples = spark.createDataFrame(
+        [("a", "uses", "b"), ("c", "calls", "d")], ["subj", "pred", "obj"]
+    )
+    dists = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.1), ("c", 0.9), ("d", 0.9)], ["name", "distance"]
+    )
+    # deterministic summarize double: first 'sentence' of the joined context
+    prompt = graph_summary_completion_context(triples, dists, "how do they relate?", k=2)
+    assert "how do they relate?" in prompt
+    # the context is the SUMMARY of the direct text (here: no sentence break
+    # and < 160 chars, so the summary is the whole thing)
+    direct = "a --[uses]--> b\n---\nc --[calls]--> d"
+    assert summarize_text_py(direct) in prompt
+    # the summary rule itself: first sentence, else 160-char truncation
+    assert summarize_text_py("First sentence. Second one.") == "First sentence."
+    assert summarize_text_py("x" * 500) == "x" * 160
+
+    # LLM seam: kind-tagged summarize call receives the direct text
+    calls = []
+    def llm(kind, text):
+        calls.append((kind, text))
+        return "SUMMARY<>"
+    prompt = graph_summary_completion_context(
+        triples, dists, "q?", k=2, llm=llm
+    )
+    assert calls[0][0] == "summarize" and "a --[uses]--> b" in calls[0][1]
+    assert "SUMMARY<>" in prompt
+
+
+def test_triplet_index_ids_and_texts(spark):
+    from cognee_spark.functions.ids import id_for_py, node_id_py
+    from cognee_spark.operators.indexing import build_triplet_index
+
+    triples = spark.createDataFrame(
+        [("a", "uses", "b"), ("a", "uses", "b"), ("x", "calls", "y")],
+        ["subj", "pred", "obj"],
+    )
+    idx = build_triplet_index(triples)
+    rows = idx.collect()
+    assert len(rows) == 2  # duplicate edge upserts to one datapoint
+    by_text = {r.text: r for r in rows}
+    r = by_text["a-›uses-›b"]
+    assert r.collection == "Triplet_text"
+    assert r.item_id == node_id_py(
+        id_for_py("Entity", "a") + "uses" + id_for_py("Entity", "b")
+    )
+    assert len(r.embedding) > 0
