@@ -29,6 +29,92 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+# --- A/B arm: the previous round's entry point, same machine, same hour ---------
+#
+# The sf0.1 bench has a measured ±15% machine-state noise floor day-to-day
+# (BENCH/BASELINE.md), so a per-query wall regression vs LAST round's JSON is
+# not evidence of a code regression. The A/B arm re-times the same query list
+# against the PREVIOUS round-boundary commit (a detached git worktree, run in
+# a subprocess back-to-back with the main arm) so code effects and machine
+# state separate. Disable with SPARK_GRAFT_AB=0.
+
+_AB_RUNNER = """
+import json, sys, time
+worktree, sf_dir, cpus, names = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4].split(",")
+sys.path.insert(0, worktree)
+from cognee_spark.session import get_spark
+import __spark_entry__ as entry_mod
+spark = get_spark(app_name="cognee_spark_bench_ab", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+registry = entry_mod.queries()
+timings, total = {}, 0.0
+for name in names:
+    if name not in registry:
+        continue
+    started = time.perf_counter()
+    registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings[name] = round(time.perf_counter() - started, 3)
+    total += timings[name]
+print("AB_RESULT " + json.dumps({"queries": timings, "total": round(total, 3)}))
+spark.stop()
+"""
+
+
+def _last_round_ref() -> str | None:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%H\t%s"],
+            cwd=str(Path(__file__).resolve().parent),
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+    except Exception:
+        return None
+    for line in out.splitlines():
+        sha, _tab, subject = line.partition("\t")
+        if re.match(r"^round \d+:", subject):
+            return sha
+    return None
+
+
+def _ab_baseline(names: list[str], sf_dir: str, cpus: int) -> dict | None:
+    import subprocess
+
+    repo = str(Path(__file__).resolve().parent)
+    ref = os.environ.get("SPARK_GRAFT_AB_REF") or _last_round_ref()
+    if not ref:
+        return None
+    worktree = tempfile.mkdtemp(prefix="cognee_ab_wt")
+    runner = os.path.join(worktree, "_ab_runner.py")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--force", "--detach", worktree, ref],
+            cwd=repo, capture_output=True, timeout=120, check=True,
+        )
+        with open(runner, "w") as f:
+            f.write(_AB_RUNNER)
+        env = dict(os.environ, SPARK_GRAFT_AB="0")
+        proc = subprocess.run(
+            [sys.executable, runner, worktree, sf_dir, str(cpus), ",".join(names)],
+            capture_output=True, text=True, timeout=1800, env=env, cwd=worktree,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("AB_RESULT "):
+                result = json.loads(line[len("AB_RESULT "):])
+                result["ref"] = ref
+                return result
+        return {"ref": ref, "error": (proc.stderr or proc.stdout)[-500:]}
+    except Exception as err:  # A/B evidence is additive — never fail the bench
+        return {"ref": ref, "error": str(err)[:500]}
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", worktree],
+            cwd=repo, capture_output=True, timeout=60,
+        )
+        shutil.rmtree(worktree, ignore_errors=True)
+
+
 def _force(df) -> int:
     """Fully execute a plan without driver-side collection overhead."""
     df.write.format("noop").mode("overwrite").save()
@@ -116,6 +202,12 @@ def main() -> None:
     timings["kg_pipeline_full"] = kg_full_sec
     total += kg_full_sec
 
+    # A/B arm: previous round-boundary commit, same queries, back-to-back
+    # (separates code effects from machine state; ±15% noise floor measured)
+    ab = None
+    if os.environ.get("SPARK_GRAFT_AB", "1") != "0" or "--ab" in sys.argv:
+        ab = _ab_baseline(bench_queries, sf_dir, cpus)
+
     print(
         json.dumps(
             {
@@ -128,6 +220,7 @@ def main() -> None:
                 "kg_triples": triples,
                 "kg_triples_per_sec": round(triples / kg_sec, 2) if kg_sec else None,
                 "cpus": cpus,
+                "ab_baseline": ab,
             }
         )
     )
