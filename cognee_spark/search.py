@@ -1,0 +1,241 @@
+"""Unified search dispatch — the reference's SearchType → retriever factory
+(cognee/modules/search/types/SearchType.py + methods/
+get_search_type_retriever_instance.py:40-200 + methods/search.py): one
+``search(spark, tables, search_type, query)`` entry point that routes a
+query to the retriever implementing that search type. Every handler is a
+thin composition of operators that already carry their own tests/oracles;
+this module adds ONLY the routing, the reference's enum surface, and the
+FEELING_LUCKY type-selection seam.
+
+``tables`` is the pipeline's output dict (run_pipeline(...)["tables"]):
+documents/chunks/summaries/nodes/triples/embeddings, plus optionally
+``events`` (temporal datapoints) for SearchType.TEMPORAL.
+
+AGENTIC_COMPLETION is a declared non-goal (SURVEY §7.4): serving-side agent
+orchestration over these same retrievers — it raises UnsupportedSearchType
+like the reference's UnsupportedSearchTypeError for unregistered types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEARCH_TYPES = (
+    "SUMMARIES", "CHUNKS", "RAG_COMPLETION", "HYBRID_COMPLETION",
+    "TRIPLET_COMPLETION", "GRAPH_COMPLETION", "GRAPH_COMPLETION_DECOMPOSITION",
+    "GRAPH_SUMMARY_COMPLETION", "CYPHER", "NATURAL_LANGUAGE",
+    "GRAPH_COMPLETION_COT", "GRAPH_COMPLETION_CONTEXT_EXTENSION",
+    "FEELING_LUCKY", "TEMPORAL", "CHUNKS_LEXICAL", "CODE",
+)
+
+
+class UnsupportedSearchType(ValueError):
+    """UnsupportedSearchTypeError twin (search/exceptions)."""
+
+
+def _cosine_distance_col(text_col, query: str):
+    """1 - cosine(hash_embedding(text), hash_embedding(query)) — the default
+    query-embedding seam as a pure codegen column."""
+    from cognee_spark.functions.embeddings import hash_embedding_col, hash_embedding_py
+
+    q = F.array(*[F.lit(x) for x in hash_embedding_py(query)])
+    v = hash_embedding_col(text_col)
+    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    return 1.0 - dot / (norm(v) * norm(q))
+
+
+def hash_node_distances(nodes: DataFrame, query: str) -> DataFrame:
+    """(name, distance) for triplet scoring when no external encoder is
+    plugged in. Pure codegen — no shuffle."""
+    return nodes.select(
+        "name", _cosine_distance_col(F.col("name"), query).alias("distance")
+    )
+
+
+def _vector_topk(spark, frame, query, k, id_col, text_col):
+    """R1 over an on-the-fly hash-embedded text column."""
+    from cognee_spark.functions.embeddings import hash_embedding_col, hash_embedding_py
+    from cognee_spark.operators.similarity_search import brute_force_topk
+
+    emb = frame.select(
+        F.col(id_col).alias("item_id"),
+        F.col(text_col).alias("text"),
+        hash_embedding_col(F.col(text_col)).alias("embedding"),
+    )
+    queries = spark.createDataFrame([("q0", hash_embedding_py(query))], ["query_id", "query_vec"])
+    top = brute_force_topk(emb, queries, k=k, id_col="item_id", vec_col="embedding")
+    texts = emb.select(F.col("item_id").alias("vec_id"), "text")
+    return top.join(texts, "vec_id").select(
+        "rank", F.col("vec_id").alias("item_id"), "text"
+    )
+
+
+def select_search_type(query: str, llm=None) -> str:
+    """FEELING_LUCKY — the reference asks an LLM to pick the search type
+    (search/operations/select_search_type). Seam-with-fallback like
+    nlsearch/temporal: an llm(prompt) returning a SearchType name wins if
+    valid; otherwise a deterministic heuristic: time-worded questions →
+    TEMPORAL, count/list questions → NATURAL_LANGUAGE, everything else →
+    GRAPH_COMPLETION (the reference's workhorse default)."""
+    if llm is not None:
+        try:
+            picked = llm(
+                "select_search_type", f"Pick a search type for: `{query}`"
+            ).strip().upper()
+            if picked in SEARCH_TYPES:
+                return picked
+        except Exception:
+            pass
+    import re
+
+    if re.search(r"\b(since|until|before|after|during|from \d{4}|in \d{4}|\d{4}-\d{2})\b", query, re.I):
+        return "TEMPORAL"
+    if re.search(r"\b(how many|count|list all|number of)\b", query, re.I):
+        return "NATURAL_LANGUAGE"
+    return "GRAPH_COMPLETION"
+
+
+def search(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    search_type: str,
+    query: str,
+    top_k: int = 5,
+    llm=None,
+    distances_of=None,
+    **kwargs,
+):
+    """Route ``query`` through the retriever for ``search_type``.
+
+    DataFrame-shaped results (rank lists) come back as DataFrames; completion
+    flows return their operator's prompt string / dict. ``llm`` is the one
+    generation seam shared by every handler that has one; ``distances_of``
+    overrides the query-embedding seam (defaults to hash_node_distances).
+    """
+    st = search_type.upper()
+    if st == "FEELING_LUCKY":
+        st = select_search_type(query, llm=llm)
+    dist = distances_of or (lambda q: hash_node_distances(
+        tables["triples"].select(F.col("subj").alias("name"))
+        .union(tables["triples"].select(F.col("obj").alias("name"))).distinct(), q
+    ))
+
+    if st == "SUMMARIES":
+        return _vector_topk(spark, tables["summaries"], query, top_k, "summary_id", "summary")
+    if st == "CHUNKS":
+        return _vector_topk(spark, tables["chunks"], query, top_k, "chunk_id", "text")
+    if st == "CHUNKS_LEXICAL":
+        from cognee_spark.operators.retrieval import lexical_topk
+
+        return lexical_topk(
+            tables["chunks"], query, top_k=top_k, text_col="text", id_col="chunk_id"
+        )
+    if st == "RAG_COMPLETION":
+        from cognee_spark.operators.retrieval import COMPLETION_PROMPT_TEMPLATE
+
+        top = _vector_topk(spark, tables["chunks"], query, top_k, "chunk_id", "text")
+        rows = top.select("rank", "text").orderBy("rank").collect()
+        context = "\n---\n".join(r.text for r in rows)
+        prompt = COMPLETION_PROMPT_TEMPLATE.format(question=query, context=context)
+        return llm("completion", prompt) if llm is not None else prompt
+    if st == "HYBRID_COMPLETION":
+        from cognee_spark.operators.retrieval import bm25_score, rrf_fuse
+
+        terms = [t for t in query.lower().split() if t]
+        lex = bm25_score(
+            tables["chunks"], terms, text_col="text", id_col="chunk_id", k=max(top_k * 3, 10)
+        ).select(F.col("doc_id").alias("chunk_id"), "rank")
+        vec = _vector_topk(
+            spark, tables["chunks"], query, max(top_k * 3, 10), "chunk_id", "text"
+        ).select(F.col("item_id").alias("chunk_id"), "rank")
+        return rrf_fuse([lex, vec], top_k=top_k, id_col="chunk_id")
+    if st == "TRIPLET_COMPLETION":
+        from cognee_spark.operators.indexing import build_triplet_index
+        from cognee_spark.functions.embeddings import hash_embedding_py
+        from cognee_spark.operators.similarity_search import brute_force_topk
+
+        idx = build_triplet_index(tables["triples"].select("subj", "pred", "obj"))
+        queries = spark.createDataFrame(
+            [("q0", hash_embedding_py(query))], ["query_id", "query_vec"]
+        )
+        top = brute_force_topk(idx, queries, k=top_k, id_col="item_id", vec_col="embedding")
+        texts = idx.select(F.col("item_id").alias("vec_id"), "text")
+        return top.join(texts, "vec_id").select(
+            "rank", F.col("vec_id").alias("item_id"), "text"
+        )
+    if st == "GRAPH_COMPLETION":
+        from cognee_spark.operators.retrieval import graph_completion_context
+
+        return graph_completion_context(
+            tables["triples"], dist(query), query, k=top_k
+        )
+    if st == "GRAPH_SUMMARY_COMPLETION":
+        from cognee_spark.operators.retrieval import graph_summary_completion_context
+
+        return graph_summary_completion_context(
+            tables["triples"], dist(query), query, k=top_k, llm=llm
+        )
+    if st == "GRAPH_COMPLETION_COT":
+        from cognee_spark.operators.retrieval import cot_completion_rounds
+
+        return cot_completion_rounds(tables["triples"], dist, query, llm, k=top_k)
+    if st == "GRAPH_COMPLETION_DECOMPOSITION":
+        from cognee_spark.operators.retrieval import decomposition_completion
+
+        return decomposition_completion(tables["triples"], dist, query, llm, k=top_k)
+    if st == "GRAPH_COMPLETION_CONTEXT_EXTENSION":
+        from cognee_spark.operators.retrieval import context_extension_completion
+
+        return context_extension_completion(tables["triples"], dist, query, llm, k=top_k)
+    if st in ("NATURAL_LANGUAGE", "CYPHER"):
+        from cognee_spark.operators.nlsearch import (
+            natural_language_search,
+            template_sql_generator,
+        )
+
+        views = {
+            name: tables[name]
+            for name in ("nodes", "triples")
+            if name in tables
+        }
+        # every llm seam in this module is kind-tagged; nlsearch's contract
+        # is llm(prompt) -> sql, so adapt
+        generator = (
+            (lambda prompt: llm("generate_sql", prompt))
+            if llm is not None
+            else template_sql_generator()
+        )
+        return natural_language_search(spark, views, query, generator)
+    if st == "TEMPORAL":
+        from cognee_spark.operators.temporal import temporal_completion
+
+        events = tables.get("events")
+        if events is None:
+            raise UnsupportedSearchType(
+                "TEMPORAL search needs an 'events' table (operators/temporal "
+                "extraction output) in the tables dict"
+            )
+        scores = kwargs.get("event_scores")
+        if scores is None:
+            # cosine DISTANCE of each event description vs the query — a
+            # narrow projection (no window/shuffle), ranked by the operator
+            scores = events.select(
+                "event_id",
+                _cosine_distance_col(F.col("description"), query).alias("score"),
+            )
+        return temporal_completion(
+            events, scores, query, k=top_k, llm=None,
+            triplet_fallback=lambda: search(
+                spark, tables, "GRAPH_COMPLETION", query, top_k=top_k,
+                distances_of=distances_of,
+            ),
+        )
+    if st == "CODE":
+        needle = kwargs.get("needle", query)
+        return tables["nodes"].where(
+            F.col("kind").isin("function", "class", "method", "module")
+            & F.col("name").contains(needle)
+        ).select("entity_id", "name", "kind")
+    raise UnsupportedSearchType(f"search type {search_type!r} is not supported")
