@@ -92,26 +92,53 @@ def gc_graph(
             kept_chunks.select("chunk_id").distinct(), "chunk_id", "left_semi"
         ).select(*summaries.columns)
     if embeddings is not None:
-        live_ids = (
-            kept_nodes.select(F.col("entity_id").alias("item_id"))
+        # liveness is scoped PER COLLECTION: a (collection, item_id) pair is
+        # live only if that collection's own source row survived. Collections
+        # this sweep doesn't know how to derive liveness for (plug-in
+        # indexes) pass through UNCHANGED — sweeping them wholesale as
+        # orphans would delete live data (round-4 ADVICE)
+        live_pairs = (
+            kept_nodes.select(
+                F.lit("Entity_name").alias("collection"),
+                F.col("entity_id").alias("item_id"),
+            )
             .union(
                 kept_nodes.select(F.col("kind")).distinct().select(
-                    _type_id(F.col("kind")).alias("item_id")
+                    F.lit("EntityType_name").alias("collection"),
+                    _type_id(F.col("kind")).alias("item_id"),
                 )
             )
             .union(
                 kept_triples.select(F.col("pred")).distinct().select(
-                    _edge_type_id(F.col("pred")).alias("item_id")
+                    F.lit("EdgeType_relationship_name").alias("collection"),
+                    _edge_type_id(F.col("pred")).alias("item_id"),
+                )
+            )
+            .union(
+                kept_triples.select("subj", "pred", "obj").distinct().select(
+                    F.lit("Triplet_text").alias("collection"),
+                    _triplet_id(F.col("subj"), F.col("pred"), F.col("obj")).alias(
+                        "item_id"
+                    ),
                 )
             )
         )
         if "summaries" in out:
-            live_ids = live_ids.union(
-                out["summaries"].select(F.col("summary_id").alias("item_id"))
+            live_pairs = live_pairs.union(
+                out["summaries"].select(
+                    F.lit("TextSummary_text").alias("collection"),
+                    F.col("summary_id").alias("item_id"),
+                )
             )
-        out["embeddings"] = embeddings.join(
-            live_ids.distinct(), "item_id", "left_semi"
-        ).select(*embeddings.columns)
+        known = [
+            "Entity_name", "EntityType_name", "EdgeType_relationship_name",
+            "Triplet_text", "TextSummary_text",
+        ]
+        swept = embeddings.where(F.col("collection").isin(known)).join(
+            live_pairs.distinct(), ["collection", "item_id"], "left_semi"
+        )
+        passthrough = embeddings.where(~F.col("collection").isin(known))
+        out["embeddings"] = swept.unionByName(passthrough).select(*embeddings.columns)
     return out
 
 
@@ -125,6 +152,15 @@ def _edge_type_id(pred):
     from cognee_spark.functions.ids import id_for_col
 
     return id_for_col("EdgeType", pred)
+
+
+def _triplet_id(subj, pred, obj):
+    """The Triplet_text collection's id rule (indexing.build_triplet_index)."""
+    from cognee_spark.functions.ids import id_for_col, node_id_col
+
+    return node_id_col(
+        F.concat(id_for_col("Entity", subj), pred, id_for_col("Entity", obj))
+    )
 
 
 def cleanup_report(
@@ -157,20 +193,38 @@ def cleanup_unused_data(
     data: DataFrame,
     cutoff: str,
     dry_run: bool = True,
-    signature: str = "gc",
+    signature: str | None = None,
     doc_col: str = "content_sha",
 ) -> dict:
     """Store-integrated sweep: compute the kept frames, and (unless dry_run)
     commit each as a NEW ``gc_<table>`` stage through run_stage — deletes are
     a new commit, never in-place, so store.rollback_to(...) undoes the sweep.
+    The live documents frame itself is committed alongside the derived
+    tables (``gc_documents``) so a hard sweep shrinks the root table too.
 
     ``data`` must carry (doc_col, last_accessed). Returns
     {"report": DataFrame, "kept": {...}, "committed": [stage names]}.
+
+    The default ``signature`` is derived from the cutoff AND a fingerprint
+    of the input document set — run_stage skips (stage, signature) pairs it
+    has already committed, so a constant signature would make a second
+    sweep with a different cutoff silently return the previous sweep's
+    stale tables (round-4 ADVICE). One narrow count+xor aggregate, the
+    same content-derived-signature rule sessions.persist_sessions uses.
     """
     from cognee_spark.store import run_stage
 
     la = F.col("last_accessed")
     live_docs = data.where(la.isNotNull() & (la >= F.to_timestamp(F.lit(cutoff))))
+    if signature is None:
+        fp = (
+            data.select(
+                F.xxhash64(F.col(doc_col), la.cast("string")).alias("h")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("s"))
+            .first()
+        )
+        signature = f"gc:{cutoff}:{fp.n}:{fp.s}"
     kept = gc_graph(
         live_docs,
         tables["chunks"],
@@ -181,6 +235,10 @@ def cleanup_unused_data(
         summaries=tables.get("summaries"),
         doc_col=doc_col,
     )
+    if "documents" in tables:
+        kept["documents"] = tables["documents"].join(
+            live_docs.select(F.col(doc_col)).distinct(), doc_col, "left_semi"
+        ).select(*tables["documents"].columns)
     originals = {k: tables[k] for k in kept}
     report = cleanup_report(originals, kept)
     committed: list[str] = []

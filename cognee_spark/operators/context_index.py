@@ -117,10 +117,25 @@ def bucketize_level(
         rendered.alias("_rendered"),
     )
     if llm is not None:
-        rows = buckets.select("bucket_id", "child_ids", "_rendered").collect()
-        summarized = spark.createDataFrame(
-            [(r.bucket_id, llm("bucket_summary", r._rendered)) for r in rows],
-            "bucket_id string, text string",
+        # batched executor-side transport (the operators/llm.py shape): each
+        # Arrow batch of buckets is summarized inside its Python worker and
+        # only (bucket_id, text) rows come back — level 0 of a 1B-summary
+        # corpus has ~50M buckets, so collecting them to the driver for a
+        # per-row loop (the round-4 shape) is a scale-killer; the llm
+        # callable ships in the closure exactly like LLMExtractor.transport
+        import pandas as pd
+
+        def _summarize(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "bucket_id": pdf["bucket_id"],
+                        "text": [llm("bucket_summary", r) for r in pdf["_rendered"]],
+                    }
+                )
+
+        summarized = buckets.select("bucket_id", "_rendered").mapInPandas(
+            _summarize, "bucket_id string, text string"
         )
         buckets = buckets.join(summarized, "bucket_id")
     else:

@@ -59,13 +59,17 @@ def _normalize_sql(sql: str) -> str:
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'":  # string literal
+        if ch in ("'", '"'):  # string literal — Spark lexes "..." as a string
+            # too (double-quoted identifiers are off by default), so BOTH
+            # delimiters must be blanked: a single quote inside "..." would
+            # otherwise re-pair around live SQL and hide it from validation
+            quote = ch
             i += 1
             while i < n:
                 if sql[i] == "\\" and i + 1 < n:  # backslash escape
                     i += 2
-                elif sql[i] == "'":
-                    if i + 1 < n and sql[i + 1] == "'":  # '' escaped quote
+                elif sql[i] == quote:
+                    if i + 1 < n and sql[i + 1] == quote:  # doubled-quote escape
                         i += 2
                     else:
                         break

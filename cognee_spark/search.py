@@ -18,8 +18,17 @@ like the reference's UnsupportedSearchTypeError for unregistered types.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("cognee_spark.search")
+
+# FEELING_LUCKY llm-selection failures that fell back to the heuristic —
+# counted like llm.py counts its drops, so a misconfigured transport is
+# visible instead of silently degrading to the heuristic
+SELECT_FALLBACKS = {"count": 0}
 
 SEARCH_TYPES = (
     "SUMMARIES", "CHUNKS", "RAG_COMPLETION", "HYBRID_COMPLETION",
@@ -54,19 +63,51 @@ def hash_node_distances(nodes: DataFrame, query: str) -> DataFrame:
     )
 
 
-def _vector_topk(spark, frame, query, k, id_col, text_col):
-    """R1 over an on-the-fly hash-embedded text column."""
-    from cognee_spark.functions.embeddings import hash_embedding_col, hash_embedding_py
-    from cognee_spark.operators.similarity_search import brute_force_topk
-
-    emb = frame.select(
-        F.col(id_col).alias("item_id"),
-        F.col(text_col).alias("text"),
-        hash_embedding_col(F.col(text_col)).alias("embedding"),
+def _index_slice(tables, collection: str):
+    """The committed vector index's slice for ``collection`` (item_id, text,
+    embedding), or None when the tables dict carries no index or the index
+    has no rows for that collection. The presence probe is one take(1) over a
+    collection-pruned scan — the index table is written partitioned by
+    collection (operators/indexing.py), so this reads one partition's
+    footer, not the corpus."""
+    emb = tables.get("embeddings")
+    if emb is None:
+        return None
+    sliced = emb.where(F.col("collection") == collection).select(
+        F.col("item_id"), "text", "embedding"
     )
+    return sliced if sliced.take(1) else None
+
+
+def _vector_topk(spark, frame, query, k, id_col, text_col, index=None, ivf=None):
+    """R1 for the dispatch: probe the committed index when one is present,
+    hash-embed on the fly only when not.
+
+    Priority: ``ivf`` (a {"assigned", "centroids", "nprobe"?} dict —
+    similarity_search.ivf_topk over the prebuilt cell-assigned index, the
+    scale path) → ``index`` (brute-force cosine over the committed
+    embeddings slice, no re-embedding) → on-the-fly hash embedding of
+    ``frame`` (demo/bootstrap path — the only one that re-embeds the
+    corpus per query)."""
+    from cognee_spark.functions.embeddings import hash_embedding_col, hash_embedding_py
+    from cognee_spark.operators.similarity_search import brute_force_topk, ivf_topk
+
     queries = spark.createDataFrame([("q0", hash_embedding_py(query))], ["query_id", "query_vec"])
-    top = brute_force_topk(emb, queries, k=k, id_col="item_id", vec_col="embedding")
-    texts = emb.select(F.col("item_id").alias("vec_id"), "text")
+    if ivf is not None:
+        assigned = ivf["assigned"]
+        top = ivf_topk(
+            assigned, ivf["centroids"], queries, k=k,
+            nprobe=ivf.get("nprobe", 4), id_col="item_id", vec_col="embedding",
+        )
+        texts = assigned.select(F.col("item_id").alias("vec_id"), "text")
+    else:
+        emb = index if index is not None else frame.select(
+            F.col(id_col).alias("item_id"),
+            F.col(text_col).alias("text"),
+            hash_embedding_col(F.col(text_col)).alias("embedding"),
+        )
+        top = brute_force_topk(emb, queries, k=k, id_col="item_id", vec_col="embedding")
+        texts = emb.select(F.col("item_id").alias("vec_id"), "text")
     return top.join(texts, "vec_id").select(
         "rank", F.col("vec_id").alias("item_id"), "text"
     )
@@ -86,8 +127,9 @@ def select_search_type(query: str, llm=None) -> str:
             ).strip().upper()
             if picked in SEARCH_TYPES:
                 return picked
-        except Exception:
-            pass
+        except Exception as err:  # seam-with-fallback, but never silent
+            SELECT_FALLBACKS["count"] += 1
+            _log.warning("FEELING_LUCKY llm selection failed open: %r", err)
     import re
 
     if re.search(r"\b(since|until|before|after|during|from \d{4}|in \d{4}|\d{4}-\d{2})\b", query, re.I):
@@ -122,10 +164,24 @@ def search(
         .union(tables["triples"].select(F.col("obj").alias("name"))).distinct(), q
     ))
 
+    # the committed vector index / IVF cell index, when the caller's tables
+    # carry one — the dispatch probes it instead of re-embedding the corpus
+    # per query (the 100×-scale path; on-the-fly embedding stays the
+    # bootstrap fallback)
+    ivf = tables.get("ivf")
+
     if st == "SUMMARIES":
-        return _vector_topk(spark, tables["summaries"], query, top_k, "summary_id", "summary")
+        return _vector_topk(
+            spark, tables["summaries"], query, top_k, "summary_id", "summary",
+            index=_index_slice(tables, "TextSummary_text"),
+            ivf=ivf if ivf and ivf.get("collection") == "TextSummary_text" else None,
+        )
     if st == "CHUNKS":
-        return _vector_topk(spark, tables["chunks"], query, top_k, "chunk_id", "text")
+        return _vector_topk(
+            spark, tables["chunks"], query, top_k, "chunk_id", "text",
+            index=_index_slice(tables, "DocumentChunk_text"),
+            ivf=ivf if ivf and ivf.get("collection") == "DocumentChunk_text" else None,
+        )
     if st == "CHUNKS_LEXICAL":
         from cognee_spark.operators.retrieval import lexical_topk
 
@@ -135,7 +191,10 @@ def search(
     if st == "RAG_COMPLETION":
         from cognee_spark.operators.retrieval import COMPLETION_PROMPT_TEMPLATE
 
-        top = _vector_topk(spark, tables["chunks"], query, top_k, "chunk_id", "text")
+        top = _vector_topk(
+            spark, tables["chunks"], query, top_k, "chunk_id", "text",
+            index=_index_slice(tables, "DocumentChunk_text"),
+        )
         rows = top.select("rank", "text").orderBy("rank").collect()
         context = "\n---\n".join(r.text for r in rows)
         prompt = COMPLETION_PROMPT_TEMPLATE.format(question=query, context=context)
@@ -148,7 +207,8 @@ def search(
             tables["chunks"], terms, text_col="text", id_col="chunk_id", k=max(top_k * 3, 10)
         ).select(F.col("doc_id").alias("chunk_id"), "rank")
         vec = _vector_topk(
-            spark, tables["chunks"], query, max(top_k * 3, 10), "chunk_id", "text"
+            spark, tables["chunks"], query, max(top_k * 3, 10), "chunk_id", "text",
+            index=_index_slice(tables, "DocumentChunk_text"),
         ).select(F.col("item_id").alias("chunk_id"), "rank")
         return rrf_fuse([lex, vec], top_k=top_k, id_col="chunk_id")
     if st == "TRIPLET_COMPLETION":
@@ -226,7 +286,11 @@ def search(
                 _cosine_distance_col(F.col("description"), query).alias("score"),
             )
         return temporal_completion(
-            events, scores, query, k=top_k, llm=None,
+            events, scores, query, k=top_k,
+            # seam adapters: search's contract is llm(kind, prompt), the
+            # temporal operator expects llm(prompt) — adapt like the
+            # NATURAL_LANGUAGE branch instead of discarding the caller's llm
+            llm=(lambda p: llm("extract_time", p)) if llm is not None else None,
             triplet_fallback=lambda: search(
                 spark, tables, "GRAPH_COMPLETION", query, top_k=top_k,
                 distances_of=distances_of,

@@ -141,3 +141,92 @@ def test_store_integration_deletes_are_new_commits_and_roll_back(spark, tmp_path
     rolled = store.rollback_to("triples")
     assert any(s.startswith("gc_") for s in rolled)
     assert store.read_checkpoint("gc_nodes") is None
+
+
+def test_unknown_embedding_collections_pass_through(spark, tmp_path):
+    """Round-4 ADVICE: the embeddings sweep is scoped per collection — rows
+    of a collection gc_graph can't derive liveness for (a plug-in index)
+    must survive untouched, and Triplet_text rows are swept by their own id
+    rule, not as blanket orphans."""
+    from cognee_spark.operators.indexing import build_triplet_index
+
+    tables = _pipeline_tables(spark, tmp_path)
+    triplet_idx = build_triplet_index(tables["triples"])
+    plugin = spark.createDataFrame(
+        [("Custom_plugin", "x1", "plugin row")], ["collection", "item_id", "text"]
+    ).withColumn("embedding", F.expr("array(1.0d, 2.0d)"))
+    core = tables["embeddings"].select("collection", "item_id", "text", "embedding")
+    emb = (
+        core
+        .unionByName(triplet_idx.select(*core.columns))
+        .unionByName(plugin.select(*core.columns))
+    )
+    live_docs = tables["documents"].where(F.col("path") == "docs/a.md")
+    kept = gc_graph(
+        live_docs, tables["chunks"], tables["mentions"], tables["nodes"],
+        tables["triples"], embeddings=emb, summaries=tables["summaries"],
+        doc_col="content_sha",
+    )
+    by_coll = {
+        r.collection: r.n
+        for r in kept["embeddings"].groupBy("collection").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_coll.get("Custom_plugin") == 1  # unknown collection untouched
+    # live triplets keep their index rows; doc-B-only triplets lose theirs
+    kept_trip_texts = {
+        r.text for r in kept["embeddings"].where(F.col("collection") == "Triplet_text").collect()
+    }
+    assert "zephyrservice-›uses-›quokkaregistry" in kept_trip_texts
+    assert not any("maplehub" in t for t in kept_trip_texts)
+
+
+def test_second_sweep_with_different_cutoff_recomputes(spark, tmp_path):
+    """Round-4 ADVICE: the default run_stage signature derives from the
+    cutoff + input fingerprint, so a later sweep with a different cutoff
+    commits fresh gc_* tables instead of silently reusing the old ones."""
+    from cognee_spark.store import TableStore
+
+    tables = _pipeline_tables(spark, tmp_path)
+    store = TableStore(str(tmp_path / "store"))
+    b_sha = (
+        tables["documents"].where(F.col("path") == "docs/b.md")
+        .select("content_sha").first().content_sha
+    )
+    data = tables["documents"].select(
+        "content_sha",
+        F.to_timestamp(
+            F.when(F.col("content_sha") == b_sha, F.lit("2024-01-01 00:00:00"))
+            .otherwise(F.lit("2024-02-01 00:00:00"))
+        ).alias("last_accessed"),
+    )
+    # sweep 1: cutoff strands doc B → gc_nodes loses B-only entities
+    cleanup_unused_data(store, spark, tables, data, cutoff="2024-01-15 00:00:00", dry_run=False)
+    n_after_first = spark.read.parquet(store.path("gc_nodes")).count()
+    # sweep 2: cutoff keeps EVERYTHING live → gc_nodes must equal the full set
+    cleanup_unused_data(store, spark, tables, data, cutoff="2023-12-01 00:00:00", dry_run=False)
+    n_after_second = spark.read.parquet(store.path("gc_nodes")).count()
+    assert n_after_first < tables["nodes"].count()
+    assert n_after_second == tables["nodes"].count()  # not the stale sweep-1 table
+
+
+def test_hard_sweep_commits_live_documents_table(spark, tmp_path):
+    from cognee_spark.store import TableStore
+
+    tables = _pipeline_tables(spark, tmp_path)
+    store = TableStore(str(tmp_path / "store"))
+    b_sha = (
+        tables["documents"].where(F.col("path") == "docs/b.md")
+        .select("content_sha").first().content_sha
+    )
+    data = tables["documents"].select(
+        "content_sha",
+        F.to_timestamp(
+            F.when(F.col("content_sha") == b_sha, F.lit("2024-01-01 00:00:00"))
+            .otherwise(F.lit("2024-02-01 00:00:00"))
+        ).alias("last_accessed"),
+    )
+    out = cleanup_unused_data(store, spark, tables, data, cutoff="2024-01-15 00:00:00", dry_run=False)
+    assert "gc_documents" in out["committed"]
+    gc_docs = spark.read.parquet(store.path("gc_documents"))
+    assert gc_docs.count() == tables["documents"].count() - 1
+    assert b_sha not in {r.content_sha for r in gc_docs.select("content_sha").collect()}

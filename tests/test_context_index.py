@@ -87,19 +87,63 @@ def test_small_input_goes_straight_to_root(spark):
     assert out["assignments"].count() == 5  # all items direct children of root
 
 
-def test_llm_summarize_seam_receives_reference_rendering(spark):
-    calls = []
+def _make_marker_llm():
+    """Executor-side double: bucket summarization now runs inside Python
+    workers (mapInPandas), so the seam is verified through the RETURNED text
+    — the rendering contract is asserted in-worker (a violation fails the
+    job), the kind comes back as a marker. Built as a closure so cloudpickle
+    ships it by value (a module-level test function isn't importable on the
+    workers)."""
 
-    def llm(kind, rendered):
-        calls.append((kind, rendered))
+    def marker_llm(kind, rendered):
+        assert rendered.startswith("Input 1:\n"), rendered
         return f"[{kind}]"
 
+    return marker_llm
+
+
+def test_llm_summarize_seam_receives_reference_rendering(spark):
     out = build_context_index(
-        spark, _summaries(spark, 12), dataset_id="d", max_bucket_size=10, llm=llm
+        spark, _summaries(spark, 12), dataset_id="d", max_bucket_size=10,
+        llm=_make_marker_llm(),
     )
-    kinds = {k for k, _ in calls}
-    assert kinds == {"bucket_summary", "root_summary"}
-    # children render as the reference's "Input i:\n{text}" blocks
-    assert all(r.startswith("Input 1:\n") for _k, r in calls)
     texts = {b.text for b in out["buckets"].collect()}
-    assert texts <= {"[bucket_summary]", "[root_summary]"}
+    # 12 items / bucket 10 → one bucketized level + the root
+    assert texts == {"[bucket_summary]", "[root_summary]"}
+
+
+def test_llm_mode_is_batched_and_preserves_bucket_sets(spark):
+    """The LLM path must (a) run through a batched executor-side transport —
+    MapInPandas in the plan, never a driver collect loop — and (b) produce
+    the exact bucket membership/identity of the deterministic mode (the llm
+    only rewrites the summary text, never the placement)."""
+    from cognee_spark.functions.embeddings import hash_embedding_col
+    from cognee_spark.operators.context_index import bucketize_level
+
+    items = (
+        _summaries(spark, 53)
+        .selectExpr("summary_id AS item_id", "summary AS text")
+        .withColumn("embedding", hash_embedding_col(F.col("text")))
+    )
+    _, buckets_llm = bucketize_level(
+        spark, items, 0, "ds1", 10, 53, llm=_make_marker_llm()
+    )
+    plan = buckets_llm._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+
+    out_det = build_context_index(
+        spark, _summaries(spark, 53), dataset_id="ds1", max_bucket_size=10
+    )
+    out_llm = build_context_index(
+        spark, _summaries(spark, 53), dataset_id="ds1", max_bucket_size=10,
+        llm=_make_marker_llm(),
+    )
+    det = {(r.level, r.bucket_id, r.child_id) for r in out_det["assignments"].collect()}
+    # level-0 placement must be identical; higher levels re-embed the llm's
+    # rewritten texts, so only the first level is comparable bit-for-bit
+    llm_l0 = {
+        (r.level, r.bucket_id, r.child_id)
+        for r in out_llm["assignments"].where(F.col("level") == 0).collect()
+    }
+    det_l0 = {t for t in det if t[0] == 0}
+    assert llm_l0 == det_l0

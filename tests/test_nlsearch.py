@@ -73,6 +73,30 @@ def test_guardrails_comment_and_backtick_bypasses_closed():
         validate_generated_sql("SET spark.x = 1", allowed)
 
 
+def test_guardrails_double_quote_bypass_closed():
+    """Round-4 ADVICE: Spark lexes "..." as a string literal by default, so a
+    single quote inside double quotes re-paired around live SQL and hid a
+    join against an unregistered table from target extraction."""
+    allowed = {"kg_nodes", "kg_triples"}
+    # the verified bypass from the advice, verbatim — must now be rejected
+    with pytest.raises(QueryRejected):
+        validate_generated_sql(
+            "SELECT \"a'\" , * FROM secret_table JOIN kg_nodes ON true"
+            " WHERE kg_nodes.name = \"'\"",
+            allowed,
+        )
+    # legitimate double-quoted strings still validate (blanked, not rejected)
+    validate_generated_sql('SELECT * FROM kg_nodes WHERE name = "zephyr"', allowed)
+    # "" doubled-quote escape inside a double-quoted literal
+    validate_generated_sql('SELECT * FROM kg_nodes WHERE name = "a""b"', allowed)
+    # a relation name smuggled INSIDE a double-quoted string is just a string
+    validate_generated_sql(
+        'SELECT * FROM kg_nodes WHERE name = "FROM secret_table"', allowed
+    )
+    with pytest.raises(QueryRejected):
+        validate_generated_sql('SELECT "unterminated FROM kg_nodes', allowed)
+
+
 def test_generated_query_answers_question(spark, graph):
     out = natural_language_search(
         spark, graph, "how many function nodes", template_sql_generator()
