@@ -1339,6 +1339,88 @@ SELECT doc_id, fuse_rank, rrf_score FROM (
 """
 
 
+def truth_aligned_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-subspace-weighted hybrid ranking (hybrid/ranking.py:43-46 +
+    truth_subspace/align.py:52-89 + centroids.py): the first 8 embedding
+    rows act as accepted session learnings — with n ≤ k each opens its own
+    NORMALIZED centroid slot (the greedy fold's under-capacity branch, which
+    SQL can replay; the merge branch is pinned against the pure-python twin
+    in tests/test_truth.py). Every document's vector is projected onto the
+    slots (truth_alignment), the query vector (embedding row 100) yields
+    q_coords, and the two-list RRF score is multiplied by
+    truth_factor = 0.75 + 0.5 · clamp01(Σ coordᵢ·wᵢ / Σ wᵢ), wᵢ =
+    clamp⁺(q_coordᵢ) — epoch-gated, neutral on missing state. The factor
+    genuinely reorders the plain-RRF ranking on this corpus."""
+    from cognee_spark.operators.retrieval import bm25_score, rrf_fuse
+    from cognee_spark.operators.truth import (
+        extend_slots,
+        node_coords_col,
+        query_coords,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    basis_rows = emb.orderBy("vec_id").limit(8).collect()
+    slots = extend_slots(
+        [], [(f"L{r.vec_id:04d}", [float(x) for x in r.embedding]) for r in basis_rows],
+        k=8,
+    )
+    basis = [s["centroid"] for s in slots]
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 100).first().embedding]
+    q_coords = query_coords(qvec, slots)
+    truth = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        node_coords_col(F.col("embedding"), basis).alias("truth_alignment"),
+        F.lit(1).alias("truth_epoch"),
+    )
+    a = bm25_score(docs, ["spark", "query"], k=30).select("doc_id", "rank")
+    b = bm25_score(docs, ["data", "table"], k=30).select("doc_id", "rank")
+    return rrf_fuse(
+        [a, b], top_k=10, truth=truth, q_coords=q_coords, truth_epoch=1
+    ).select("doc_id", "fuse_rank")
+
+
+_TRUTH_RRF_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, w AS term
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+  WHERE w <> ''
+),
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT avg(dl) FROM doc_len) AS avgdl),""" + _bm25_rank_ctes(
+    "a", ["spark", "query"], 30
+) + "," + _bm25_rank_ctes("b", ["data", "table"], 30) + r""",
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nslots AS (
+  SELECT vec_id AS slot,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS c
+  FROM base ORDER BY vec_id LIMIT 8
+),
+q AS (SELECT v FROM base WHERE vec_id = 100),
+qw AS (SELECT slot, greatest(list_cosine_similarity(c, q.v), 0) AS w FROM nslots, q),
+tw AS (SELECT sum(w) AS total FROM qw),
+coords AS (SELECT b.vec_id AS doc_id, s.slot, list_cosine_similarity(b.v, s.c) AS coord
+           FROM base b, nslots s),
+factor AS (
+  SELECT doc_id, 0.75 + 0.5 * least(greatest(sum(coord * w) / max(tw.total), 0), 1) AS f
+  FROM coords JOIN qw USING (slot), tw GROUP BY doc_id
+),
+fused AS (
+  SELECT doc_id,
+         round(coalesce(1.0 / (40 + a.rank), 0) + coalesce(1.0 / (40 + b.rank), 0), 9) AS rrf,
+         least(coalesce(a.rank, 2147483647), coalesce(b.rank, 2147483647)) AS best_rank
+  FROM rank_a a FULL OUTER JOIN rank_b b USING (doc_id)
+)
+SELECT doc_id, fuse_rank FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(rrf * coalesce(f, 1.0), 9) DESC, rrf DESC,
+                            best_rank, doc_id) AS fuse_rank
+  FROM fused LEFT JOIN factor USING (doc_id)
+) WHERE fuse_rank <= 10
+"""
+
+
 def kg_nl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural-language search over the engine's OWN graph: the question goes
     through schema-prompted query generation (deterministic serving double),
@@ -1453,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feedback_weights": feedback_weights,
         "kg_nl_search": kg_nl_search,
         "hybrid_rrf_topk": hybrid_rrf_topk,
+        "truth_aligned_rrf": truth_aligned_rrf,
     }
 
 
@@ -1506,4 +1589,5 @@ def oracle_sql() -> dict[str, str]:
         "feedback_weights": _FEEDBACK_SQL,
         "kg_nl_search": _KG_NL_SEARCH_SQL,
         "hybrid_rrf_topk": _HYBRID_RRF_SQL,
+        "truth_aligned_rrf": _TRUTH_RRF_SQL,
     }

@@ -448,6 +448,9 @@ def rrf_fuse(
     top_k: int = 10,
     id_col: str = "doc_id",
     importance: DataFrame | None = None,
+    truth: DataFrame | None = None,
+    q_coords: list[float] | None = None,
+    truth_epoch: int | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of retrieval rank lists — the hybrid
     retriever's ranking core (hybrid/ranking.py:7-57): each input frame
@@ -456,7 +459,17 @@ def rrf_fuse(
     rrf_k = max(30, min(60, 20 + 2·top_k)); the optional importance frame
     (id, importance_weight) multiplies by 0.75 + 0.5·clip01(w). Ties break
     by (rrf desc, best single-list rank asc, id asc) — the reference sort.
-    All arithmetic is codegen; the final top-k is TakeOrderedAndProject."""
+    All arithmetic is codegen; the final top-k is TakeOrderedAndProject.
+
+    Truth weighting (ranking.py:43-46 + truth_subspace/align.py): when
+    ``truth`` (id, truth_alignment array, truth_epoch) AND ``q_coords`` AND
+    ``truth_epoch`` are all provided, the score is further multiplied by
+    ``truth_factor(truth_alignment, q_coords)`` — but ONLY for rows whose
+    stamped epoch equals ``truth_epoch``; stale/missing state is NEUTRAL
+    (factor 1.0), and with no coordinates at all scores are unchanged — the
+    reference's explicit neutrality contract. The truth side joins on the
+    id (broadcast when slot-coordinate tables are dictionary-sized; at
+    corpus scale the join shuffles on the same id the fusion already keys)."""
     rrf_k = max(30, min(60, 20 + 2 * top_k))
     joined = None
     for i, frame in enumerate(rankings):
@@ -473,6 +486,7 @@ def rrf_fuse(
     out = joined.select(
         id_col, F.round(rrf, 9).alias("rrf_score"), best.alias("best_rank")
     )
+    factor = None
     if importance is not None:
         imp = importance.select(
             id_col,
@@ -480,12 +494,27 @@ def rrf_fuse(
                 0.75
                 + 0.5
                 * F.least(F.greatest(F.col("importance_weight"), F.lit(0.0)), F.lit(1.0))
-            ).alias("_factor"),
+            ).alias("_imp_factor"),
         )
-        out = out.join(imp, id_col, "left").withColumn(
-            "final_score",
-            F.round(F.col("rrf_score") * F.coalesce("_factor", F.lit(1.0)), 9),
-        ).drop("_factor")
+        out = out.join(imp, id_col, "left")
+        factor = F.coalesce("_imp_factor", F.lit(1.0))
+    if truth is not None and q_coords and truth_epoch is not None:
+        from cognee_spark.operators.truth import truth_factor_col
+
+        tr = truth.select(
+            id_col,
+            F.when(
+                F.col("truth_epoch") == F.lit(int(truth_epoch)),
+                truth_factor_col(F.col("truth_alignment"), q_coords),
+            ).alias("_truth_factor"),  # stale epoch → NULL → neutral
+        )
+        out = out.join(tr, id_col, "left")
+        tf = F.coalesce("_truth_factor", F.lit(1.0))
+        factor = tf if factor is None else factor * tf
+    if factor is not None:
+        out = out.withColumn(
+            "final_score", F.round(F.col("rrf_score") * factor, 9)
+        ).drop("_imp_factor", "_truth_factor")
     else:
         out = out.withColumn("final_score", F.col("rrf_score"))
     top = out.orderBy(
