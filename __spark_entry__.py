@@ -1339,6 +1339,128 @@ SELECT doc_id, fuse_rank, rrf_score FROM (
 """
 
 
+def agent_trace_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-trace feedback rendering (extract_agent_trace_feedbacks.py:
+    29-120): a deterministic per-step trace log derived from events (error
+    steps carry empty feedback → dropped), windowed to the last 5 steps per
+    session, concatenated as "Session ID: {id}\\n\\n" + newline-joined
+    entries — the same seq-ordered groupBy fold the session persist uses."""
+    from cognee_spark.operators.sessions import agent_trace_windows
+
+    ev = _t(spark, sf_dir, "events")
+    traces = ev.select(
+        (F.col("user_id") % 10).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("user_id") % 10).cast("string")).alias("session_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("")).otherwise(
+            F.col("props")
+        ).alias("session_feedback"),
+        F.col("props").alias("method_return_value"),
+    )
+    return agent_trace_windows(traces, last_n_steps=5)
+
+
+_AGENT_TRACE_SQL = """
+WITH traces AS (
+  SELECT user_id % 10 AS user_id, 't' || (user_id % 10) AS session_id,
+         event_id AS seq,
+         trim(CASE WHEN event_type = 'error' THEN '' ELSE props END) AS v
+  FROM events
+),
+windowed AS (
+  SELECT * FROM (
+    SELECT user_id, session_id, seq, v,
+           row_number() OVER (PARTITION BY user_id, session_id ORDER BY seq DESC) AS rn
+    FROM traces WHERE v <> ''
+  ) WHERE rn <= 5
+)
+SELECT user_id, session_id,
+       'Session ID: ' || session_id || chr(10) || chr(10)
+           || string_agg(v, chr(10) ORDER BY seq) AS text,
+       count(*) AS n_steps
+FROM windowed GROUP BY user_id, session_id
+"""
+
+
+_USAGE_MODELS = (
+    "openai/gpt-4o-mini",       # longest-prefix: must price as gpt-4o-mini, not gpt-4o
+    "anthropic/claude-3-5-haiku",
+    "gemini-2.0-flash-001",     # date-suffixed id prices via its prefix
+    "mystery-model",            # unknown → $0 (the reference's contract)
+)
+
+
+def session_usage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-lifecycle usage tracking (session_lifecycle/usage_tracking.py:
+    33-169 + metrics.accumulate_usage): a deterministic llm-call log derived
+    from the events table (one session per user; model cycling through
+    provider-prefixed / date-suffixed / unknown ids; error events marked
+    errored) rolled up into SessionRecord counters — chars/4 token
+    estimates, longest-prefix pricing, error counts, ts-latest model."""
+    from cognee_spark.operators.lifecycle import session_usage
+
+    ev = _t(spark, sf_dir, "events")
+    calls = ev.select(
+        F.concat(F.lit("s"), F.col("user_id").cast("string")).alias("session_id"),
+        "user_id",
+        "ts",
+        F.element_at(
+            F.array(*[F.lit(m) for m in _USAGE_MODELS]),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ).alias("model"),
+        F.col("props").alias("input_text"),
+        F.col("event_type").alias("output_text"),
+        (F.col("event_type") == "error").alias("errored"),
+    )
+    return session_usage(calls)
+
+
+def _pricing_case_sql() -> str:
+    """The DuckDB twin of lifecycle.cost_usd_col, generated from the SAME
+    pricing dict (longest prefix first) so the two can't drift."""
+    from cognee_spark.operators.lifecycle import DEFAULT_PRICING
+
+    branches = "".join(
+        f" WHEN starts_with(mkey, '{base}') THEN"
+        f" tokens_in / 1000000.0 * {pin} + tokens_out / 1000000.0 * {pout}"
+        for base, (pin, pout) in sorted(
+            DEFAULT_PRICING.items(), key=lambda kv: -len(kv[0])
+        )
+    )
+    return f"CASE{branches} ELSE 0.0 END"
+
+
+def _session_usage_sql() -> str:
+    models = ", ".join(f"'{m}'" for m in _USAGE_MODELS)
+    return f"""
+WITH calls AS (
+  SELECT 's' || user_id AS session_id, user_id, ts,
+         list_extract([{models}], CAST(event_id % 4 + 1 AS INT)) AS model,
+         props AS input_text, event_type AS output_text,
+         event_type = 'error' AS errored
+  FROM events
+),
+keyed AS (
+  SELECT *,
+         lower(list_extract(string_split(model, '/'), -1)) AS mkey,
+         CASE WHEN length(coalesce(input_text, '')) = 0 THEN 0
+              ELSE greatest(1, length(input_text) // 4) END AS tokens_in,
+         CASE WHEN length(coalesce(output_text, '')) = 0 THEN 0
+              ELSE greatest(1, length(output_text) // 4) END AS tokens_out
+  FROM calls
+),
+priced AS (SELECT *, {_pricing_case_sql()} AS cost_usd FROM keyed)
+SELECT session_id, user_id,
+       sum(tokens_in) AS tokens_in, sum(tokens_out) AS tokens_out,
+       round(sum(cost_usd), 9) AS cost_usd,
+       sum(CASE WHEN errored THEN 1 ELSE 0 END) AS error_count,
+       arg_max(model, ts) AS last_model,
+       count(*) AS n_calls,
+       min(ts) AS started_at, max(ts) AS last_activity_at
+FROM priced GROUP BY session_id, user_id
+"""
+
+
 def truth_aligned_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truth-subspace-weighted hybrid ranking (hybrid/ranking.py:43-46 +
     truth_subspace/align.py:52-89 + centroids.py): the first 8 embedding
@@ -1536,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nl_search": kg_nl_search,
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "truth_aligned_rrf": truth_aligned_rrf,
+        "session_usage_counts": session_usage_counts,
+        "agent_trace_windows": agent_trace_windows_q,
     }
 
 
@@ -1590,4 +1714,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_nl_search": _KG_NL_SEARCH_SQL,
         "hybrid_rrf_topk": _HYBRID_RRF_SQL,
         "truth_aligned_rrf": _TRUTH_RRF_SQL,
+        "session_usage_counts": _session_usage_sql(),
+        "agent_trace_windows": _AGENT_TRACE_SQL,
     }

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SESSION_NODE_SET = "user_sessions_from_cache"
+AGENT_TRACE_NODE_SET = "agent_trace_feedbacks"
 
 
 def session_windows(
@@ -97,6 +98,101 @@ def windows_as_documents(windows: DataFrame) -> DataFrame:
         F.lit("md").alias("lang"),
         F.col("text").alias("content"),
     )
+
+
+def agent_trace_windows(
+    traces: DataFrame,
+    raw_trace_content: bool = False,
+    last_n_steps: int | None = None,
+    session_ids: list[str] | None = None,
+) -> DataFrame:
+    """Agent-trace feedback rendering — the memify extraction task
+    (cognee/tasks/memify/extract_agent_trace_feedbacks.py:29-120 +
+    persist_agent_trace_feedbacks_in_knowledge_graph.py:21-100): per
+    session, take either the per-step ``session_feedback`` summaries or the
+    raw ``method_return_value`` payloads, keep only NON-EMPTY entries (after
+    trim), optionally window to the ``last_n_steps`` MOST RECENT steps, and
+    concatenate into one blob
+
+        Session ID: {id}\\n\\n{entry}\\n{entry}...
+
+    ``traces``: (user_id, session_id, seq, session_feedback,
+    method_return_value) — seq is the step's position. The reference loops
+    sessions through its cache manager; here the whole extraction is the
+    sessions-fold shape: one groupBy with a seq-ordered array fold, the
+    last-N window a tail slice of the sorted entries (the non-empty filter
+    runs BEFORE grouping so dropped steps never enter the shuffle). Output:
+    (user_id, session_id, text, n_steps)."""
+    value_col = "method_return_value" if raw_trace_content else "session_feedback"
+    base = traces.select(
+        "user_id", "session_id",
+        F.col("seq").cast("long").alias("seq"),
+        F.trim(F.col(value_col).cast("string")).alias("v"),
+    ).where(F.col("v").isNotNull() & (F.col("v") != ""))
+    if session_ids is not None:
+        base = base.where(F.col("session_id").isin(*session_ids))
+    per_session = base.groupBy("user_id", "session_id").agg(
+        F.array_sort(F.collect_list(F.struct("seq", "v"))).alias("_entries")
+    )
+    entries = F.col("_entries")
+    if last_n_steps is not None:
+        n = int(last_n_steps)
+        entries = F.when(F.size("_entries") <= n, F.col("_entries")).otherwise(
+            F.slice("_entries", -n, n)
+        )
+    rendered = F.concat(
+        F.lit("Session ID: "), F.col("session_id"), F.lit("\n\n"),
+        F.array_join(F.transform(entries, lambda e: e["v"]), "\n"),
+    )
+    return per_session.select(
+        "user_id",
+        "session_id",
+        rendered.alias("text"),
+        F.size(entries).alias("n_steps"),
+    )
+
+
+def persist_agent_traces(
+    spark,
+    store_root: str,
+    traces: DataFrame,
+    raw_trace_content: bool = False,
+    last_n_steps: int | None = None,
+    session_ids: list[str] | None = None,
+    node_set_name: str = AGENT_TRACE_NODE_SET,
+    **pipeline_kwargs,
+) -> dict:
+    """Persist agent-trace feedback into the graph — the memify pipeline
+    flow (extract → cognify under ``node_set_name``). Same commit discipline
+    as persist_sessions: the windows cognify through the REAL pipeline with
+    a content-derived signature; re-running over unchanged traces reuses the
+    committed stages."""
+    from cognee_spark.pipeline import run_pipeline
+
+    windows = agent_trace_windows(
+        traces, raw_trace_content=raw_trace_content,
+        last_n_steps=last_n_steps, session_ids=session_ids,
+    )
+    agg = (
+        windows.select(F.xxhash64("user_id", "session_id", "text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("s"))
+        .first()
+    )
+    if agg.n == 0:
+        return {"windows": 0, "tables": None}
+    docs = windows.select(
+        F.concat(F.lit(f"{node_set_name}/"), F.col("user_id").cast("string")).alias("repo"),
+        F.col("session_id").alias("path"),
+        F.col("n_steps").cast("string").alias("commit"),
+        F.lit("md").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    out = run_pipeline(
+        spark, docs, store_root, f"traces:{agg.n}:{agg.s}",
+        compute_metrics=False, with_summaries=False, with_index=False,
+        **pipeline_kwargs,
+    )
+    return {"windows": agg.n, "tables": out["tables"]}
 
 
 def persist_sessions(

@@ -98,3 +98,65 @@ def test_persist_cognifies_and_advances_watermarks_exactly_once(spark, tmp_path)
         for r in third["watermarks"].collect()
     }
     assert merged == {("u1", "s1"): 2, ("u2", "s9"): 1}
+
+
+# --- agent-trace feedback persist (extract_agent_trace_feedbacks.py) ---------
+
+
+def _traces(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "user_id string, session_id string, seq int, "
+        "session_feedback string, method_return_value string",
+    )
+
+
+def test_agent_trace_rendering_drops_empty_and_orders_by_seq(spark):
+    from cognee_spark.operators.sessions import agent_trace_windows
+
+    t = _traces(spark, [
+        ("u1", "t1", 2, "third step ok", "raw3"),
+        ("u1", "t1", 0, "first step ok", "raw1"),
+        ("u1", "t1", 1, "   ", "raw2"),       # whitespace-only → dropped
+        ("u1", "t1", 3, None, "raw4"),        # null → dropped
+    ])
+    w = agent_trace_windows(t).first()
+    assert w.text == "Session ID: t1\n\nfirst step ok\nthird step ok"
+    assert w.n_steps == 2
+
+
+def test_agent_trace_last_n_steps_window_and_raw_mode(spark):
+    from cognee_spark.operators.sessions import agent_trace_windows
+
+    rows = [("u1", "t1", i, f"fb{i}", f"raw{i}") for i in range(6)]
+    t = _traces(spark, rows)
+    w = agent_trace_windows(t, last_n_steps=3).first()
+    assert w.text == "Session ID: t1\n\nfb3\nfb4\nfb5" and w.n_steps == 3
+    # a window larger than the session keeps everything (no slice error)
+    w = agent_trace_windows(t, last_n_steps=50).first()
+    assert w.n_steps == 6
+    # raw_trace_content=True reads method_return_value instead
+    w = agent_trace_windows(t, raw_trace_content=True, last_n_steps=2).first()
+    assert w.text == "Session ID: t1\n\nraw4\nraw5"
+    # session_ids scoping
+    t2 = _traces(spark, rows + [("u1", "t2", 0, "other", "o")])
+    got = {r.session_id for r in agent_trace_windows(t2, session_ids=["t2"]).collect()}
+    assert got == {"t2"}
+
+
+def test_persist_agent_traces_lands_under_node_set(spark, tmp_path):
+    from cognee_spark.operators.sessions import AGENT_TRACE_NODE_SET, persist_agent_traces
+
+    t = _traces(spark, [
+        ("u1", "t1", 0, "ZephyrService uses QuokkaRegistry.", "raw"),
+        ("u1", "t1", 1, "MapleHub extends OrchidStore.", "raw"),
+    ])
+    out = persist_agent_traces(spark, str(tmp_path / "store"), t)
+    assert out["windows"] == 1
+    docs = out["tables"]["documents"]
+    repos = {r.repo for r in docs.select("repo").collect()}
+    assert repos == {f"{AGENT_TRACE_NODE_SET}/u1"}
+    names = {r.name for r in out["tables"]["nodes"].collect()}
+    assert "zephyrservice" in names and "maplehub" in names
+    trips = {(r.subj, r.pred, r.obj) for r in out["tables"]["triples"].collect()}
+    assert ("zephyrservice", "uses", "quokkaregistry") in trips
