@@ -1339,6 +1339,35 @@ SELECT doc_id, fuse_rank, rrf_score FROM (
 """
 
 
+def coding_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coding-rule extraction + nodeset-scoped retrieval
+    (tasks/codingagents/coding_rule_associations.py:37-160 +
+    coding_rules_retriever.py:11-38): the deterministic grammar double
+    extracts "{fast|slow} {word}" observations from the documents corpus as
+    imperative rules, dedups them, tags the coding_agent_rules nodeset, and
+    the retriever returns every rule in the set. rule_id is uuid5 (pinned by
+    pytest; dropped here — DuckDB has no sha1)."""
+    from cognee_spark.operators.coding_rules import existing_rules, extract_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = extract_rules(docs)
+    return existing_rules(rules).select("rule", "node_set")
+
+
+_CODING_RULES_SQL = r"""
+WITH matches AS (
+  SELECT unnest(regexp_extract_all(text, '\b(fast|slow) (\w+)')) AS m
+  FROM documents
+),
+rules AS (
+  SELECT DISTINCT 'prefer ' || string_split(m, ' ')[2]
+             || ' (' || string_split(m, ' ')[1] || ')' AS rule
+  FROM matches
+)
+SELECT rule, 'coding_agent_rules' AS node_set FROM rules ORDER BY rule
+"""
+
+
 def agent_trace_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agent-trace feedback rendering (extract_agent_trace_feedbacks.py:
     29-120): a deterministic per-step trace log derived from events (error
@@ -1660,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truth_aligned_rrf": truth_aligned_rrf,
         "session_usage_counts": session_usage_counts,
         "agent_trace_windows": agent_trace_windows_q,
+        "coding_rules": coding_rules,
     }
 
 
@@ -1716,4 +1746,5 @@ def oracle_sql() -> dict[str, str]:
         "truth_aligned_rrf": _TRUTH_RRF_SQL,
         "session_usage_counts": _session_usage_sql(),
         "agent_trace_windows": _AGENT_TRACE_SQL,
+        "coding_rules": _CODING_RULES_SQL,
     }

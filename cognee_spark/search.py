@@ -35,7 +35,7 @@ SEARCH_TYPES = (
     "TRIPLET_COMPLETION", "GRAPH_COMPLETION", "GRAPH_COMPLETION_DECOMPOSITION",
     "GRAPH_SUMMARY_COMPLETION", "CYPHER", "NATURAL_LANGUAGE",
     "GRAPH_COMPLETION_COT", "GRAPH_COMPLETION_CONTEXT_EXTENSION",
-    "FEELING_LUCKY", "TEMPORAL", "CHUNKS_LEXICAL", "CODE",
+    "FEELING_LUCKY", "TEMPORAL", "CHUNKS_LEXICAL", "CODE", "CODING_RULES",
 )
 
 
@@ -296,6 +296,18 @@ def search(
                 distances_of=distances_of,
             ),
         )
+    if st == "CODING_RULES":
+        from cognee_spark.operators.coding_rules import RULES_NODESET, existing_rules
+
+        rules = tables.get("rules")
+        if rules is None:
+            raise UnsupportedSearchType(
+                "CODING_RULES search needs a 'rules' table "
+                "(operators/coding_rules.extract_rules output) in the tables dict"
+            )
+        # the reference retriever returns every rule in the nodeset(s) and
+        # ignores the query text (coding_rules_retriever.py:24-31)
+        return existing_rules(rules, kwargs.get("rules_nodeset") or [RULES_NODESET])
     if st == "CODE":
         needle = kwargs.get("needle", query)
         return tables["nodes"].where(
