@@ -34,9 +34,14 @@ def _sf_of(sf_dir: str) -> float:
 # The sf0.1 bench has a measured ±15% machine-state noise floor day-to-day
 # (BENCH/BASELINE.md), so a per-query wall regression vs LAST round's JSON is
 # not evidence of a code regression. The A/B arm re-times the same query list
-# against the PREVIOUS round-boundary commit (a detached git worktree, run in
-# a subprocess back-to-back with the main arm) so code effects and machine
-# state separate. Disable with SPARK_GRAFT_AB=0.
+# against the PREVIOUS round-boundary commit (a detached git worktree) so code
+# effects and machine state separate. Disable with SPARK_GRAFT_AB=0.
+#
+# Hygiene (round-4 verdict): the two arms run as IDENTICAL subprocess runners
+# (fresh JVM each), INTERLEAVED head→base→head→base, and each query takes its
+# best-of-2 across trials — a sequential head-then-base layout let executor
+# teardown and first-run warmup land entirely on one arm, which showed up as a
+# 13% phantom "regression" on code paths that hadn't changed.
 
 _AB_RUNNER = """
 import json, sys, time
@@ -78,7 +83,43 @@ def _last_round_ref() -> str | None:
     return None
 
 
-def _ab_baseline(names: list[str], sf_dir: str, cpus: int) -> dict | None:
+def _run_arm(arm_dir: str, names: list[str], sf_dir: str, cpus: int) -> dict | None:
+    """One fresh-JVM timing pass of ``names`` against the repo at arm_dir."""
+    import subprocess
+
+    runner = os.path.join(tempfile.mkdtemp(prefix="cognee_ab_run"), "_ab_runner.py")
+    with open(runner, "w") as f:
+        f.write(_AB_RUNNER)
+    env = dict(os.environ, SPARK_GRAFT_AB="0")
+    try:
+        proc = subprocess.run(
+            [sys.executable, runner, arm_dir, sf_dir, str(cpus), ",".join(names)],
+            capture_output=True, text=True, timeout=1800, env=env, cwd=arm_dir,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("AB_RESULT "):
+                return json.loads(line[len("AB_RESULT "):])
+        return {"error": (proc.stderr or proc.stdout)[-500:]}
+    except Exception as err:
+        return {"error": str(err)[:500]}
+    finally:
+        shutil.rmtree(os.path.dirname(runner), ignore_errors=True)
+
+
+def _best_of(trials: list[dict]) -> dict:
+    queries: dict[str, float] = {}
+    for trial in trials:
+        for name, sec in (trial.get("queries") or {}).items():
+            queries[name] = min(queries.get(name, float("inf")), sec)
+    return {"queries": queries, "total": round(sum(queries.values()), 3)}
+
+
+def _ab_baseline(
+    names: list[str], sf_dir: str, cpus: int, trials: int = 2
+) -> dict | None:
+    """Interleaved best-of-N A/B: head vs previous-round commit, identical
+    runners. Returns {"ref", "head", "base", "ratio_total"} — ratio_total is
+    head/base on the shared query set (1.0 ± noise when code didn't change)."""
     import subprocess
 
     repo = str(Path(__file__).resolve().parent)
@@ -86,25 +127,27 @@ def _ab_baseline(names: list[str], sf_dir: str, cpus: int) -> dict | None:
     if not ref:
         return None
     worktree = tempfile.mkdtemp(prefix="cognee_ab_wt")
-    runner = os.path.join(worktree, "_ab_runner.py")
     try:
         subprocess.run(
             ["git", "worktree", "add", "--force", "--detach", worktree, ref],
             cwd=repo, capture_output=True, timeout=120, check=True,
         )
-        with open(runner, "w") as f:
-            f.write(_AB_RUNNER)
-        env = dict(os.environ, SPARK_GRAFT_AB="0")
-        proc = subprocess.run(
-            [sys.executable, runner, worktree, sf_dir, str(cpus), ",".join(names)],
-            capture_output=True, text=True, timeout=1800, env=env, cwd=worktree,
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("AB_RESULT "):
-                result = json.loads(line[len("AB_RESULT "):])
-                result["ref"] = ref
-                return result
-        return {"ref": ref, "error": (proc.stderr or proc.stdout)[-500:]}
+        head_trials, base_trials = [], []
+        for _ in range(trials):  # interleave arms within each trial
+            head_trials.append(_run_arm(repo, names, sf_dir, cpus) or {})
+            base_trials.append(_run_arm(worktree, names, sf_dir, cpus) or {})
+        head, base = _best_of(head_trials), _best_of(base_trials)
+        shared = sorted(set(head["queries"]) & set(base["queries"]))
+        head_shared = sum(head["queries"][n] for n in shared)
+        base_shared = sum(base["queries"][n] for n in shared)
+        return {
+            "ref": ref,
+            "trials": trials,
+            "head": head,
+            "base": base,
+            "shared_queries": len(shared),
+            "ratio_total": round(head_shared / base_shared, 3) if base_shared else None,
+        }
     except Exception as err:  # A/B evidence is additive — never fail the bench
         return {"ref": ref, "error": str(err)[:500]}
     finally:
