@@ -210,7 +210,24 @@ def search(
             spark, tables["chunks"], query, max(top_k * 3, 10), "chunk_id", "text",
             index=_index_slice(tables, "DocumentChunk_text"),
         ).select(F.col("item_id").alias("chunk_id"), "rank")
-        return rrf_fuse([lex, vec], top_k=top_k, id_col="chunk_id")
+        # truth-subspace weighting (hybrid/ranking.py:43-46): when the tables
+        # dict carries chunk truth coordinates and the caller supplies the
+        # current epoch, project the query onto the slots and blend the
+        # factor; absent any of the three → plain RRF (neutrality contract)
+        truth = tables.get("truth")
+        q_coords = kwargs.get("q_coords")
+        truth_epoch = kwargs.get("truth_epoch")
+        if truth is not None and q_coords is None and kwargs.get("truth_slots"):
+            from cognee_spark.functions.embeddings import hash_embedding_py
+            from cognee_spark.operators.truth import query_coords
+
+            q_coords = query_coords(hash_embedding_py(query), kwargs["truth_slots"])
+        if truth is not None:
+            truth = truth.withColumnRenamed("node_id", "chunk_id")
+        return rrf_fuse(
+            [lex, vec], top_k=top_k, id_col="chunk_id",
+            truth=truth, q_coords=q_coords, truth_epoch=truth_epoch,
+        )
     if st == "TRIPLET_COMPLETION":
         from cognee_spark.operators.indexing import build_triplet_index
         from cognee_spark.functions.embeddings import hash_embedding_py

@@ -184,3 +184,43 @@ def test_dispatch_probes_ivf_index_when_present(spark, tables):
         spark, dict(tables, ivf=ivf), "CHUNKS", "spark runs the query engine", top_k=1
     )
     assert got.first().item_id == "c1"
+
+
+def test_hybrid_dispatch_blends_truth_factor_when_present(spark, tables):
+    """HYBRID_COMPLETION applies the truth-subspace factor when the tables
+    dict carries coordinates + the caller passes the epoch (ranking.py:43-46);
+    without them the scores are the plain-RRF baseline (neutrality)."""
+    from cognee_spark.operators.truth import extend_slots, node_coords_col
+    from cognee_spark.functions.embeddings import hash_embedding_col
+
+    # query = the learning text so its slot projection is POSITIVE (hash
+    # embeddings are signed; a negative q_coord clamps to weight 0 → neutral)
+    q = "spark runs the query engine"
+    base = search(spark, tables, "HYBRID_COMPLETION", q, top_k=2)
+    base_rows = {r.chunk_id: r.final_score for r in base.collect()}
+
+    from cognee_spark.functions.embeddings import hash_embedding_py
+
+    # learnings embedded in the SAME space as the chunks (full dimension)
+    slots = extend_slots(
+        [], [("l1", hash_embedding_py(q))], k=8
+    )
+    truth = tables["chunks"].select(
+        F.col("chunk_id").alias("node_id"),
+        node_coords_col(hash_embedding_col(F.col("text")),
+                        [s["centroid"] for s in slots]).alias("truth_alignment"),
+        F.lit(7).alias("truth_epoch"),
+    )
+    with_truth = search(
+        spark, dict(tables, truth=truth), "HYBRID_COMPLETION", q,
+        top_k=2, truth_slots=slots, truth_epoch=7,
+    )
+    rows = {r.chunk_id: r.final_score for r in with_truth.collect()}
+    assert set(rows) == set(base_rows)
+    assert any(rows[c] != base_rows[c] for c in rows)  # factor applied
+    # epoch mismatch → neutral, identical scores
+    stale = search(
+        spark, dict(tables, truth=truth), "HYBRID_COMPLETION", q,
+        top_k=2, truth_slots=slots, truth_epoch=99,
+    )
+    assert {r.chunk_id: r.final_score for r in stale.collect()} == base_rows
