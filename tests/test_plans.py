@@ -119,3 +119,22 @@ def test_ambiguous_prefilter_is_broadcast_anti_join(spark):
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti, plan
     assert all("Broadcast" in ln for ln in anti), anti
+
+
+def test_truth_projection_and_rollups_are_codegen(spark):
+    """Round-5 operators must stay JVM-side in their hot paths: the truth
+    coordinate projection (runs per-node over the whole corpus) and the
+    lifecycle usage rollups (run over the whole call log) contain no Python
+    eval nodes; the truth ranking's final top-k is TakeOrderedAndProject."""
+    plan = _plan(entry_mod.truth_aligned_rrf(spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    plan = _plan(entry_mod.session_usage_counts(spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
+
+    plan = _plan(entry_mod.agent_trace_windows_q(spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
+
+    plan = _plan(entry_mod.coding_rules(spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
