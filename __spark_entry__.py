@@ -1339,6 +1339,69 @@ SELECT doc_id, fuse_rank, rrf_score FROM (
 """
 
 
+def distilled_lessons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session distillation dataflow (session_distillation/distill.py:1-405)
+    through the REAL stages — gate → timeline batches → curator transport →
+    writer transport → rendered lesson documents — with the deterministic
+    curator/writer doubles, over a synthetic per-session context-entry log
+    derived from documents. The oracle replays the composed semantics: an
+    entry survives iff never-harmful ∧ confidence ≥ 0.75; its lesson is the
+    whitespace-collapsed capped content; one markdown document per accepted
+    lesson with per-session statement-ordered numbering. (The two mapInPandas
+    hops are exercised because batching/packing happens BETWEEN them.)"""
+    from cognee_spark.operators.distillation import (
+        accept_lessons,
+        curator_batches,
+        gated_entries,
+        propose_lessons,
+        reference_distillation_llm,
+        render_lesson_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    entries = docs.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 20).cast("string")).alias("session_id"),
+        F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("entry_id"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("created_at"),
+        F.lit("default").alias("context_profile"),
+        F.lit("notes").alias("section"),
+        F.substring("text", 1, 120).alias("content"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("harmful_count"),
+        ((F.col("doc_id") % 10) / 10.0 + 0.05).alias("confidence"),
+    )
+    qa = spark.createDataFrame(
+        [], "session_id string, time string, question string, answer string"
+    )
+    lessons = propose_lessons(
+        curator_batches(qa, gated_entries(entries)), reference_distillation_llm
+    )
+    accepted = accept_lessons(lessons, reference_distillation_llm)
+    return render_lesson_documents(accepted, "2024-02-01").select(
+        "repo", "path", "content"
+    )
+
+
+_DISTILLED_SQL = r"""
+WITH gated AS (
+  SELECT 'd' || (doc_id % 20) AS session_id,
+         trim(regexp_replace(substring(text, 1, 120), '\s+', ' ')) AS statement
+  FROM documents
+  WHERE doc_id % 7 <> 0 AND (doc_id % 10) / 10.0 + 0.05 >= 0.75
+),
+lessons AS (SELECT DISTINCT session_id, statement FROM gated WHERE statement <> ''),
+numbered AS (
+  SELECT session_id, statement,
+         row_number() OVER (PARTITION BY session_id ORDER BY statement) AS n
+  FROM lessons
+)
+SELECT 'session_learnings/' || session_id AS repo,
+       'lesson-' || n AS path,
+       '# Session learning — 2024-02-01 (session ' || session_id || ')' ||
+           chr(10) || chr(10) || statement || chr(10) AS content
+FROM numbered
+"""
+
+
 def coding_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coding-rule extraction + nodeset-scoped retrieval
     (tasks/codingagents/coding_rule_associations.py:37-160 +
@@ -1690,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_usage_counts": session_usage_counts,
         "agent_trace_windows": agent_trace_windows_q,
         "coding_rules": coding_rules,
+        "distilled_lessons": distilled_lessons,
     }
 
 
@@ -1747,4 +1811,5 @@ def oracle_sql() -> dict[str, str]:
         "session_usage_counts": _session_usage_sql(),
         "agent_trace_windows": _AGENT_TRACE_SQL,
         "coding_rules": _CODING_RULES_SQL,
+        "distilled_lessons": _DISTILLED_SQL,
     }
