@@ -1696,6 +1696,189 @@ FROM agg
 """
 
 
+def _memory_import_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic COGX-shaped record stream derived from documents:
+
+    - one entity record per document, names cycling mod 37 (same-name merge),
+      fixed-width descriptions (the append fold degenerates to an ordered
+      concat — substring-skip edge cases are pinned by pytest), a type on
+      every 5th record, an alias on every 11th;
+    - one fact per document, subject rotating across the four resolution
+      paths (external-id hit / name hit / plain-name stub / UUID miss →
+      skip), object always name-resolvable."""
+    from cognee_spark.sources.memory_stores import _finish
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ents = docs.select(
+        F.lit("entity").alias("kind"),
+        F.lit("synth").alias("external_system"),
+        F.concat(F.lit("e"), d.cast("string")).alias("external_id"),
+        d.alias("seq"),
+        F.concat(F.lit("ent"), (d % 37).cast("string")).alias("name"),
+        F.concat(F.lit("desc-"), F.lpad(d.cast("string"), 6, "0")).alias("description"),
+        F.when(d % 5 == 0, F.concat(F.lit("T"), (d % 3).cast("string"))).alias(
+            "entity_type"
+        ),
+        F.when(d % 11 == 0, F.array(F.concat(F.lit("a"), d.cast("string")))).alias(
+            "aliases"
+        ),
+    )
+    subject = (
+        F.when(d % 4 == 0, F.concat(F.lit("e"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("ent"), (d % 37).cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("stub-"), (d % 7).cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit("00000000-0000-4000-8000-"),
+                F.lpad((d % 13).cast("string"), 12, "0"),
+            )
+        )
+    )
+    facts = docs.select(
+        F.lit("fact").alias("kind"),
+        F.lit("synth").alias("external_system"),
+        F.concat(F.lit("f"), d.cast("string")).alias("external_id"),
+        d.alias("seq"),
+        subject.alias("subject_ref"),
+        F.concat(F.lit("rel"), (d % 3).cast("string")).alias("predicate"),
+        F.concat(F.lit("ent"), ((d + 1) % 37).cast("string")).alias("object_ref"),
+    )
+    return _finish(ents).unionByName(_finish(facts))
+
+
+def memory_import_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-store import, entity-merge half (migration loader,
+    cognee/modules/migration/loader.py:156-218): same-named records merge
+    into one node — first record wins the name, later distinct descriptions
+    append in seq order, the first non-null entity_type becomes the is_a
+    type. One groupBy + sorted-array fold; uuid5 node ids are pinned by
+    tests/test_migration.py (DuckDB has no sha1) and dropped here."""
+    from cognee_spark.operators.migration import graph_tables
+
+    out = graph_tables(_memory_import_records(spark, sf_dir))
+    types = out["entity_types"].select(
+        F.col("id").alias("is_a_id"), F.col("name").alias("type_name")
+    )
+    return (
+        out["nodes"]
+        .where(F.col("name").startswith("ent"))
+        .join(types, "is_a_id", "left")
+        .select("name", "description", "type_name")
+        .orderBy("name")
+    )
+
+
+_MEMORY_IMPORT_ENTITIES_SQL = """
+WITH ents AS (
+  SELECT 'ent' || (doc_id % 37) AS name,
+         'desc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+           || CASE WHEN doc_id % 11 = 0 THEN ' Also known as: a' || doc_id || '.'
+              ELSE '' END AS description,
+         CASE WHEN doc_id % 5 = 0 THEN 'T' || (doc_id % 3) END AS entity_type,
+         doc_id AS seq
+  FROM documents
+)
+SELECT name,
+       string_agg(description, chr(10) ORDER BY seq) AS description,
+       min_by(entity_type, seq) FILTER (WHERE entity_type IS NOT NULL) AS type_name
+FROM ents GROUP BY name ORDER BY name
+"""
+
+
+def memory_import_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-store import, fact-resolution half (loader.py:277-353): refs
+    resolve via the external-id registry, then known ``Entity.id_for(name)``
+    ids, plain names become stub entities, unresolvable UUID refs are
+    skipped, and duplicate resolved edge keys keep the first fact. Edges are
+    joined back to node names so the comparison is id-free."""
+    from cognee_spark.operators.migration import graph_tables
+
+    out = graph_tables(_memory_import_records(spark, sf_dir))
+    names = out["nodes"].select("id", "name")
+    return (
+        out["edges"]
+        .join(names.withColumnRenamed("name", "source_name"), F.col("source_id") == names["id"])
+        .drop("id")
+        .join(
+            names.select(F.col("id").alias("tid"), F.col("name").alias("target_name")),
+            F.col("target_id") == F.col("tid"),
+        )
+        .select("source_name", "relationship_name", "target_name", "source_external_id")
+        .orderBy("source_name", "relationship_name", "target_name")
+    )
+
+
+_MEMORY_IMPORT_EDGES_SQL = """
+WITH facts AS (
+  SELECT doc_id AS seq, 'f' || doc_id AS source_external_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'ent' || (doc_id % 37)
+           WHEN 1 THEN 'ent' || (doc_id % 37)
+           WHEN 2 THEN 'stub-' || (doc_id % 7)
+           ELSE NULL END AS source_name,
+         'rel' || (doc_id % 3) AS relationship_name,
+         'ent' || ((doc_id + 1) % 37) AS target_name
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY source_name, relationship_name, target_name ORDER BY seq
+  ) AS rn
+  FROM facts WHERE source_name IS NOT NULL
+)
+SELECT source_name, relationship_name, target_name, source_external_id
+FROM ranked WHERE rn = 1
+ORDER BY source_name, relationship_name, target_name
+"""
+
+
+def graph_export_cypher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Cypher export (migration formats.py:112-144): each node
+    renders its own MERGE statement JVM-side — shared :CogneeNode label,
+    sanitized type as secondary label, JSON-escaped property literals via
+    to_json (the reference collects the whole graph and loops on the
+    driver). Escaping is exercised by quotes/ampersands in the values."""
+    from cognee_spark.operators.graph_export import cypher_lines
+
+    d = F.col("doc_id")
+    nodes = (
+        _t(spark, sf_dir, "documents")
+        .where(d < 50)
+        .select(
+            F.concat(F.lit("n"), F.lpad(d.cast("string"), 4, "0")).alias("id"),
+            F.concat(F.lit('Name "'), d.cast("string"), F.lit('"')).alias("name"),
+            F.concat(F.lit("d&"), d.cast("string")).alias("description"),
+            F.when(d % 2 == 0, F.lit("Entity")).otherwise(F.lit("Custom-Type!")).alias(
+                "type"
+            ),
+        )
+    )
+    edges = spark.createDataFrame(
+        [], "source_id string, target_id string, relationship_name string"
+    )
+    return cypher_lines(nodes, edges)["nodes"].orderBy("line")
+
+
+_GRAPH_EXPORT_CYPHER_SQL = """
+WITH nodes AS (
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS id,
+         'Name "' || doc_id || '"' AS name,
+         'd&' || doc_id AS description,
+         CASE WHEN doc_id % 2 = 0 THEN 'Entity' ELSE 'Custom-Type!' END AS type
+  FROM documents WHERE doc_id < 50
+)
+SELECT 'MERGE (n:CogneeNode {id: ' || CAST(to_json(id) AS VARCHAR)
+       || '}) SET n:`' || regexp_replace(type, '[^A-Za-z0-9_]', '', 'g')
+       || '`, n += {`id`: ' || CAST(to_json(id) AS VARCHAR)
+       || ', `name`: ' || CAST(to_json(name) AS VARCHAR)
+       || ', `description`: ' || CAST(to_json(description) AS VARCHAR)
+       || ', `type`: ' || CAST(to_json(type) AS VARCHAR)
+       || '};' AS line
+FROM nodes ORDER BY line
+"""
+
+
 # --- contract ---------------------------------------------------------------------------
 
 
@@ -1754,6 +1937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_trace_windows": agent_trace_windows_q,
         "coding_rules": coding_rules,
         "distilled_lessons": distilled_lessons,
+        "memory_import_entities": memory_import_entities,
+        "memory_import_edges": memory_import_edges,
+        "graph_export_cypher": graph_export_cypher,
     }
 
 
@@ -1812,4 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "agent_trace_windows": _AGENT_TRACE_SQL,
         "coding_rules": _CODING_RULES_SQL,
         "distilled_lessons": _DISTILLED_SQL,
+        "memory_import_entities": _MEMORY_IMPORT_ENTITIES_SQL,
+        "memory_import_edges": _MEMORY_IMPORT_EDGES_SQL,
+        "graph_export_cypher": _GRAPH_EXPORT_CYPHER_SQL,
     }
