@@ -27,7 +27,6 @@ from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # Edge properties that are internal bookkeeping (formats.py:18).
 SKIP_EDGE_KEYS = ("source_node_id", "target_node_id")
@@ -231,12 +230,19 @@ def cogx_record_frames(
     text become document records AND raw nodes (preserve-mode restores keep
     the chunk's topology — export.py:161-175); everything else is a raw node.
     Every edge becomes a fact with external_id ``source:rel:target``. Records
-    carry an explicit ``seq`` (rank over node/edge id) so a re-import's
-    first-wins folds are order-deterministic."""
+    carry an explicit ``seq`` (dense rank over node id / edge key via the
+    two-phase :func:`~cognee_spark.functions.indexing.dense_index` — NOT a
+    single-partition global window) so a re-import's first-wins folds are
+    order-deterministic. Node ids must be unique (they are — the store
+    upserts by id); edges must be unique per (source, relationship, target),
+    which every edge frame this engine materializes is."""
+    from cognee_spark.functions.indexing import dense_index
+
+    nodes = dense_index(nodes, ["id"], "_seq")
     typ = F.col("type") if "type" in nodes.columns else F.lit(None).cast("string")
     named = F.col("name") if "name" in nodes.columns else F.lit(None).cast("string")
     text = F.col("text") if "text" in nodes.columns else F.lit(None).cast("string")
-    seq_n = F.row_number().over(Window.orderBy(F.col("id"))) - 1
+    seq_n = F.col("_seq")
 
     is_entity = (typ == "Entity") & named.isNotNull()
     is_chunk = (typ == "DocumentChunk") & text.isNotNull()
@@ -257,7 +263,11 @@ def cogx_record_frames(
     raw_cols = [
         F.lit("id"), F.col("id").cast("string"),
         *sum(
-            ([F.lit(c), F.col(c).cast("string")] for c in nodes.columns if c != "id"),
+            (
+                [F.lit(c), F.col(c).cast("string")]
+                for c in nodes.columns
+                if c not in ("id", "_seq")
+            ),
             [],
         ),
         F.lit("seq"), seq_n.cast("string"),
@@ -266,9 +276,10 @@ def cogx_record_frames(
         F.to_json(F.map_filter(F.create_map(*raw_cols), lambda k, v: v.isNotNull())).alias("line")
     )
 
-    seq_e = F.row_number().over(
-        Window.orderBy("source_id", "relationship_name", "target_id")
-    ) - 1
+    edges = dense_index(
+        edges, ["source_id", "relationship_name", "target_id"], "_seq"
+    )
+    seq_e = F.col("_seq")
     facts = edges.select(
         F.lit(source_system).alias("external_system"),
         F.concat_ws(

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cognee_spark.functions.ids import id_for_col, uuid5_col
+from cognee_spark.functions.indexing import dense_index
 from cognee_spark.sources.memory_stores import iso_ts
 
 FACTS_PER_DIGEST = 200
@@ -193,12 +194,15 @@ def data_items(records: DataFrame, mode: str = "re-derive") -> DataFrame:
         F.lit(None).cast("timestamp").alias("created_at"),
     )
 
-    facts = records.where(F.col("kind") == "fact")
-    rn = F.row_number().over(Window.orderBy("seq")) - 1
+    # two-phase dense rank, not a single-partition global window; seq is
+    # unique per record by construction (memory_stores._seq / exporter seq)
+    facts = dense_index(
+        records.where(F.col("kind") == "fact"), ["seq"], "_rn"
+    )
     fact_lines = facts.select(
         "external_system",
         "seq",
-        (rn / FACTS_PER_DIGEST).cast("long").alias("digest_index"),
+        (F.col("_rn") / FACTS_PER_DIGEST).cast("long").alias("digest_index"),
         _fact_line(
             F.struct("fact_text", "subject_ref", "predicate", "object_ref", "valid_at", "invalid_at")
         ).alias("line"),

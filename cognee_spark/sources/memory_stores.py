@@ -566,12 +566,14 @@ def read_cogx_archive(spark: SparkSession, directory: str) -> DataFrame:
     Each kind's JSONL parses distributed; raw graph nodes (``nodes.jsonl``)
     keep full fidelity as a ``map<string,string>`` whose values are the raw
     JSON text of each property. Records written by this package's exporter
-    carry an explicit ``seq``; archives without one get a deterministic seq
-    from ``row_number() over (order by external_id)`` per kind — order-
-    independent, which a distributed reader needs (see module docstring)."""
+    carry an explicit ``seq``; archives without one get a deterministic
+    per-kind seq from the external id via the two-phase
+    :func:`~cognee_spark.functions.indexing.dense_index` (NOT a
+    single-partition global window) — order-independent, which a distributed
+    reader needs (see module docstring)."""
     import os
 
-    from pyspark.sql.window import Window
+    from cognee_spark.functions.indexing import dense_index
 
     manifest_path = os.path.join(directory, MANIFEST_FILE)
     if os.path.exists(manifest_path):
@@ -587,7 +589,10 @@ def read_cogx_archive(spark: SparkSession, directory: str) -> DataFrame:
         rec = F.from_json(F.col("value"), f"struct<{_COGX_SCHEMAS[kind]}>").alias("r")
         rows = spark.read.text(path).where(F.trim("value") != "").select(rec)
         r = F.col("r")
-        fallback_seq = F.row_number().over(Window.orderBy(r["external_id"])) - 1
+        rows = dense_index(
+            rows.withColumn("_oid", r["external_id"]), ["_oid"], "_fseq"
+        ).drop("_oid")
+        fallback_seq = F.col("_fseq")
         base = rows.select(
             "r",  # kept for the per-kind extra columns; _finish projects it away
             F.lit(kind).alias("kind"),
@@ -637,15 +642,14 @@ def read_cogx_archive(spark: SparkSession, directory: str) -> DataFrame:
 
     raw_path = os.path.join(directory, RAW_NODES_FILE)
     if os.path.exists(raw_path):
-        from pyspark.sql.window import Window
-
         props = F.from_json(F.col("value"), "map<string,string>")
         rows = spark.read.text(raw_path).where(F.trim("value") != "").select(
             props.alias("raw_props")
         )
-        fallback_seq = (
-            F.row_number().over(Window.orderBy(F.col("raw_props")["id"])) - 1
-        )
+        rows = dense_index(
+            rows.withColumn("_oid", F.col("raw_props")["id"]), ["_oid"], "_fseq"
+        ).drop("_oid")
+        fallback_seq = F.col("_fseq")
         base = rows.select(
             F.lit("raw_node").alias("kind"),
             F.lit("cognee").alias("external_system"),

@@ -11,6 +11,8 @@ import json
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from cognee_spark.functions.ids import id_for_py
 from cognee_spark.operators import migration as M
 from cognee_spark.operators import graph_export as X
@@ -437,3 +439,38 @@ def test_write_graph_export_formats(spark, tmp_path):
     assert back.count() == 3
     with pytest.raises(ValueError):
         X.write_graph_export(nodes, edges, dest, format="nope")
+
+
+def test_dense_index_matches_global_rank_and_avoids_global_window(spark):
+    """dense_index = the dense 0-based rank a global window would give, with
+    no single-partition WindowExec in the plan."""
+    from cognee_spark.functions.indexing import dense_index
+
+    df = spark.range(0, 997).select(
+        F.concat(F.lit("k"), F.lpad((F.col("id") * 7919 % 997).cast("string"), 4, "0")).alias("key"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    out = dense_index(df, ["key"], "idx")
+    rows = out.orderBy("key").collect()
+    assert [r.idx for r in rows] == list(range(997))
+    # rank follows key order regardless of input partitioning
+    assert all(
+        rows[i].key < rows[i + 1].key for i in range(len(rows) - 1)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only window is partitioned; a bare global window prints an empty
+    # partition spec ("windowspecdefinition(key ... )" with no partition cols
+    # renders as Window [...], [key ASC ...] with no partitionBy) — assert the
+    # partition column is present in every Window operator line
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "_di_pid" in line, line
+
+
+def test_dense_index_empty_frame(spark):
+    from cognee_spark.functions.indexing import dense_index
+
+    df = spark.range(0, 0).select(F.col("id").cast("string").alias("key"))
+    out = dense_index(df, ["key"], "idx")
+    assert out.columns == ["key", "idx"]
+    assert out.count() == 0
