@@ -1879,6 +1879,79 @@ FROM nodes ORDER BY line
 """
 
 
+def subgraph_viz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded visualization subgraph (subgraph_data.py:28-262): degree-
+    fallback seeds (top-5 hubs via one groupBy — the reference loads the
+    whole graph to the driver), 2-hop BFS hop distances as broadcast
+    frontier semi-joins, (hop, id)-ranked cap at 60 nodes via
+    TakeOrderedAndProject. Graph synthesized from documents: each doc links
+    to (7*doc+3) mod N and to its doc%50 hub."""
+    from cognee_spark.operators.visualization import bounded_subgraph, resolve_seed_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    nid = lambda c: F.concat(F.lit("n"), F.lpad(c.cast("string"), 4, "0"))
+    edges = docs.select(
+        nid(d).alias("source_node_id"),
+        nid((d * 7 + 3) % n).alias("target_node_id"),
+    ).unionByName(
+        docs.select(
+            nid(d).alias("source_node_id"), nid(d % 50).alias("target_node_id")
+        )
+    )
+    nodes = (
+        edges.select(F.col("source_node_id").alias("entity_id"))
+        .union(edges.select("target_node_id"))
+        .distinct()
+    )
+    seeds, _ = resolve_seed_ids(edges, seed_top_k=5)
+    out = bounded_subgraph(nodes, edges, seeds, depth=2, max_nodes=60)
+    return out["nodes"].select(
+        F.col("entity_id").alias("node_id"), "hop"
+    ).orderBy("node_id")
+
+
+_SUBGRAPH_VIZ_SQL = """
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS s,
+         'n' || lpad(CAST((doc_id * 7 + 3) % n AS VARCHAR), 4, '0') AS t
+  FROM documents, cnt
+  UNION ALL
+  SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+         'n' || lpad(CAST(doc_id % 50 AS VARCHAR), 4, '0')
+  FROM documents
+),
+deg AS (
+  SELECT node_id, count(*) AS degree
+  FROM (SELECT s AS node_id FROM edges UNION ALL SELECT t FROM edges)
+  GROUP BY node_id
+),
+h0 AS (SELECT node_id FROM deg ORDER BY degree DESC, node_id LIMIT 5),
+n1 AS (
+  SELECT DISTINCT t AS node_id FROM edges JOIN h0 ON s = h0.node_id
+  UNION SELECT DISTINCT s FROM edges JOIN h0 ON t = h0.node_id
+),
+h1 AS (SELECT node_id FROM n1 WHERE node_id NOT IN (SELECT node_id FROM h0)),
+n2 AS (
+  SELECT DISTINCT t AS node_id FROM edges JOIN h1 ON s = h1.node_id
+  UNION SELECT DISTINCT s FROM edges JOIN h1 ON t = h1.node_id
+),
+h2 AS (
+  SELECT node_id FROM n2
+  WHERE node_id NOT IN (SELECT node_id FROM h0)
+    AND node_id NOT IN (SELECT node_id FROM h1)
+),
+hops AS (
+  SELECT node_id, 0 AS hop FROM h0
+  UNION ALL SELECT node_id, 1 FROM h1
+  UNION ALL SELECT node_id, 2 FROM h2
+)
+SELECT node_id, hop FROM hops ORDER BY hop, node_id LIMIT 60
+"""
+
+
 # --- contract ---------------------------------------------------------------------------
 
 
@@ -1940,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_import_entities": memory_import_entities,
         "memory_import_edges": memory_import_edges,
         "graph_export_cypher": graph_export_cypher,
+        "subgraph_viz": subgraph_viz,
     }
 
 
@@ -2001,4 +2075,5 @@ def oracle_sql() -> dict[str, str]:
         "memory_import_entities": _MEMORY_IMPORT_ENTITIES_SQL,
         "memory_import_edges": _MEMORY_IMPORT_EDGES_SQL,
         "graph_export_cypher": _GRAPH_EXPORT_CYPHER_SQL,
+        "subgraph_viz": _SUBGRAPH_VIZ_SQL,
     }
