@@ -1952,6 +1952,57 @@ SELECT node_id, hop FROM hops ORDER BY hop, node_id LIMIT 60
 """
 
 
+def recall_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform search-result envelope (recall/methods/
+    normalize_search_payload.py:1-163) as one codegen projection: preferred-
+    key text coalesce with the whole-row-JSON fallback for empty text,
+    numeric score passthrough, provenance (data_id/chunk_id) from the
+    columns present. Flat columns only — the map/raw columns are pinned by
+    tests/test_recall.py."""
+    from cognee_spark.recall import normalize_search_results
+
+    d = F.col("doc_id")
+    chunks = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("c"), d.cast("string")).alias("chunk_id"),
+        F.concat(F.lit("d"), d.cast("string")).alias("doc_id"),
+        (d % 7).cast("int").alias("chunk_index"),
+        F.when(d % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("chunk text "), d.cast("string"))
+        ).alias("text"),
+        (d % 4).cast("int").alias("score"),
+    )
+    out = normalize_search_results("CHUNKS", chunks, dataset_name="main")
+    return out.select(
+        "kind",
+        "search_type",
+        "text",
+        "score",
+        F.col("metadata")["data_id"].alias("data_id"),
+        F.col("metadata")["chunk_id"].alias("chunk_id"),
+    )
+
+
+_RECALL_NORMALIZED_SQL = """
+WITH chunks AS (
+  SELECT 'c' || doc_id AS chunk_id, 'd' || doc_id AS doc_id,
+         CAST(doc_id % 7 AS INT) AS chunk_index,
+         CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'chunk text ' || doc_id END AS text,
+         CAST(doc_id % 4 AS INT) AS score
+  FROM documents
+)
+SELECT 'chunk' AS kind, 'CHUNKS' AS search_type,
+       CASE WHEN text <> '' THEN text
+            ELSE CAST(to_json(struct_pack(
+              chunk_id := chunk_id, doc_id := doc_id,
+              chunk_index := chunk_index, text := text, score := score
+            )) AS VARCHAR) END AS text,
+       CAST(score AS DOUBLE) AS score,
+       doc_id AS data_id,
+       chunk_id AS chunk_id
+FROM chunks
+"""
+
+
 # --- contract ---------------------------------------------------------------------------
 
 
@@ -2014,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_import_edges": memory_import_edges,
         "graph_export_cypher": graph_export_cypher,
         "subgraph_viz": subgraph_viz,
+        "recall_normalized": recall_normalized,
     }
 
 
@@ -2076,4 +2128,5 @@ def oracle_sql() -> dict[str, str]:
         "memory_import_edges": _MEMORY_IMPORT_EDGES_SQL,
         "graph_export_cypher": _GRAPH_EXPORT_CYPHER_SQL,
         "subgraph_viz": _SUBGRAPH_VIZ_SQL,
+        "recall_normalized": _RECALL_NORMALIZED_SQL,
     }
