@@ -2003,6 +2003,81 @@ FROM chunks
 """
 
 
+def skill_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKILL.md parsing as one codegen projection (tools/skill_parser.py:
+    60-196): frontmatter/body split, description-alias-then-first-paragraph
+    fallback, inline vs loose tool-list splitting, quoted-value stripping,
+    sha256 content hash. The oracle derives expected values independently
+    from the generating parameters (not by re-running a parser)."""
+    from cognee_spark.operators.skills import parse_skill_frame
+
+    d = F.col("doc_id")
+    nl = "\n"
+    value = F.concat(
+        F.lit("---" + nl),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("description: Skill "), d.cast("string"), F.lit(" does things" + nl)),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 1,
+            F.concat(F.lit("summary: Summary "), d.cast("string"), F.lit(nl)),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("allowed-tools: [bash, git"), (d % 5).cast("string"), F.lit("]" + nl)),
+        ).otherwise(F.lit("tools: shell run" + nl)),
+        F.lit('version: "1.'),
+        (d % 4).cast("string"),
+        F.lit('"' + nl),
+        F.lit("---" + nl + "# Heading" + nl + nl + "Body paragraph "),
+        d.cast("string"),
+        F.lit(" with *markdown*."),
+    )
+    raw = _t(spark, sf_dir, "documents").select(
+        value.alias("value"),
+        F.concat(F.lit("/skills/s"), d.cast("string"), F.lit("/SKILL.md")).alias(
+            "source_file"
+        ),
+    )
+    out = parse_skill_frame(raw)
+    return out.select(
+        "name",
+        "description",
+        F.array_join("declared_tools", "|").alias("tools"),
+        "skill_version",
+        "content_hash",
+    )
+
+
+_SKILL_PARSE_SQL = """
+WITH src AS (
+  SELECT doc_id, 's' || doc_id AS name,
+    '---' || chr(10) ||
+    CASE WHEN doc_id % 3 = 0
+         THEN 'description: Skill ' || doc_id || ' does things' || chr(10) ELSE '' END ||
+    CASE WHEN doc_id % 3 = 1
+         THEN 'summary: Summary ' || doc_id || chr(10) ELSE '' END ||
+    CASE WHEN doc_id % 2 = 0
+         THEN 'allowed-tools: [bash, git' || (doc_id % 5) || ']' || chr(10)
+         ELSE 'tools: shell run' || chr(10) END ||
+    'version: "1.' || (doc_id % 4) || '"' || chr(10) ||
+    '---' || chr(10) || '# Heading' || chr(10) || chr(10) ||
+    'Body paragraph ' || doc_id || ' with *markdown*.' AS value
+  FROM documents
+)
+SELECT name,
+       CASE WHEN doc_id % 3 = 0 THEN 'Skill ' || doc_id || ' does things'
+            WHEN doc_id % 3 = 1 THEN 'Summary ' || doc_id
+            ELSE 'Body paragraph ' || doc_id || ' with markdown.' END AS description,
+       CASE WHEN doc_id % 2 = 0 THEN 'bash|git' || (doc_id % 5)
+            ELSE 'shell|run' END AS tools,
+       '1.' || (doc_id % 4) AS skill_version,
+       substr(sha256(value), 1, 16) AS content_hash
+FROM src
+"""
+
+
 # --- contract ---------------------------------------------------------------------------
 
 
@@ -2066,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_export_cypher": graph_export_cypher,
         "subgraph_viz": subgraph_viz,
         "recall_normalized": recall_normalized,
+        "skill_parse": skill_parse,
     }
 
 
@@ -2129,4 +2205,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_export_cypher": _GRAPH_EXPORT_CYPHER_SQL,
         "subgraph_viz": _SUBGRAPH_VIZ_SQL,
         "recall_normalized": _RECALL_NORMALIZED_SQL,
+        "skill_parse": _SKILL_PARSE_SQL,
     }
