@@ -2078,6 +2078,107 @@ FROM src
 """
 
 
+def acl_permitted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-scoped read authorization (acl.permitted_documents — the
+    reference's get_document_ids_for_user.py:11-52 as semi-joins): datasets
+    are the documents' source tags, u1 holds read on every third source and
+    write on the rest; the result aggregates the documents u1 may read per
+    dataset. The write-only datasets MUST be absent."""
+    from cognee_spark.acl import permitted_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    datasets = (
+        docs.select(F.col("source").alias("dataset_id")).distinct()
+        .select(
+            "dataset_id",
+            F.upper(F.col("dataset_id")).alias("name"),
+            F.lit("u0").alias("owner_id"),
+        )
+    )
+    acl = datasets.select(
+        F.lit("u1").alias("principal_id"),
+        "dataset_id",
+        F.when(
+            F.substring(F.col("dataset_id"), 4, 10).cast("int") % 3 == 0,
+            F.lit("read"),
+        ).otherwise(F.lit("write")).alias("permission"),
+    )
+    dataset_data = docs.select(
+        F.col("source").alias("dataset_id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+    )
+    perm = permitted_documents(acl, datasets, dataset_data, "u1")
+    return (
+        perm.join(
+            docs.select(
+                F.col("doc_id").cast("string").alias("document_id"), "n_chars"
+            ),
+            "document_id",
+        )
+        .groupBy("dataset_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+_ACL_PERMITTED_SQL = """
+WITH datasets AS (SELECT DISTINCT source AS dataset_id FROM documents),
+readable AS (
+  SELECT dataset_id FROM datasets
+  WHERE CAST(SUBSTR(dataset_id, 4, 10) AS INT) % 3 = 0
+)
+SELECT source AS dataset_id,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars
+FROM documents
+WHERE source IN (SELECT dataset_id FROM readable)
+GROUP BY source
+"""
+
+
+def search_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved query/answer history (search.get_history — the
+    reference's operations/get_history.py:12-31): the busiest-possible
+    deterministic user (MIN(user_id)) asks via signup events and the system
+    answers via purchase events; first 10 rows by (created_at, id)."""
+    from cognee_spark.search import get_history
+
+    ev = _t(spark, sf_dir, "events")
+    uid = str(ev.agg(F.min("user_id")).first()[0])
+    eid = F.col("event_id").cast("string")
+    queries_df = ev.where(F.col("event_type") == "signup").select(
+        F.concat(F.lit("Q"), eid).alias("id"),
+        F.concat(F.lit("ask "), eid).alias("text"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("ts").alias("created_at"),
+    )
+    results_df = ev.where(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("R"), eid).alias("id"),
+        F.concat(F.lit("ans "), eid).alias("value"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("ts").alias("created_at"),
+    )
+    return get_history(queries_df, results_df, uid, limit=10)
+
+
+_SEARCH_HISTORY_SQL = """
+WITH u AS (SELECT MIN(user_id) AS uid FROM events),
+q AS (
+  SELECT 'Q' || event_id AS id, 'ask ' || event_id AS text,
+         ts AS created_at, 'user' AS "user"
+  FROM events, u WHERE event_type = 'signup' AND user_id = u.uid
+),
+r AS (
+  SELECT 'R' || event_id AS id, 'ans ' || event_id AS text,
+         ts AS created_at, 'system' AS "user"
+  FROM events, u WHERE event_type = 'purchase' AND user_id = u.uid
+)
+SELECT id, text, created_at, "user"
+FROM (SELECT * FROM q UNION ALL SELECT * FROM r)
+ORDER BY created_at, id
+LIMIT 10
+"""
+
+
 # --- contract ---------------------------------------------------------------------------
 
 
@@ -2142,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_viz": subgraph_viz,
         "recall_normalized": recall_normalized,
         "skill_parse": skill_parse,
+        "acl_permitted_docs": acl_permitted_docs,
+        "search_history": search_history,
     }
 
 
@@ -2206,4 +2309,6 @@ def oracle_sql() -> dict[str, str]:
         "subgraph_viz": _SUBGRAPH_VIZ_SQL,
         "recall_normalized": _RECALL_NORMALIZED_SQL,
         "skill_parse": _SKILL_PARSE_SQL,
+        "acl_permitted_docs": _ACL_PERMITTED_SQL,
+        "search_history": _SEARCH_HISTORY_SQL,
     }

@@ -332,3 +332,66 @@ def search(
             & F.col("name").contains(needle)
         ).select("entity_id", "name", "kind")
     raise UnsupportedSearchType(f"search type {search_type!r} is not supported")
+
+
+# --- search history (modules/search/operations) -----------------------------
+
+_QUERY_SCHEMA = "id string, text string, query_type string, user_id string, created_at timestamp"
+_RESULT_SCHEMA = "id string, value string, query_id string, user_id string, created_at timestamp"
+
+
+def log_query(
+    spark: SparkSession, text: str, query_type: str, user_id: str, ts: str
+) -> DataFrame:
+    """One Query row (operations/log_query.py:9-24) as a frame the caller
+    appends to its ``search_queries`` table. The reference's random ORM pk
+    becomes a deterministic uuid5 over (user, ts, text) so replayed logging
+    upserts instead of duplicating."""
+    from cognee_spark.functions.ids import id_for_col
+
+    return spark.createDataFrame(
+        [(text, query_type, user_id, ts)],
+        "text string, query_type string, user_id string, created_at string",
+    ).select(
+        id_for_col("Query", F.col("user_id"), F.col("created_at"), F.col("text")).alias("id"),
+        "text", "query_type", "user_id",
+        F.col("created_at").cast("timestamp"),
+    )
+
+
+def log_result(
+    spark: SparkSession, query_id: str, value: str, user_id: str, ts: str
+) -> DataFrame:
+    """One Result row (operations/log_result.py:9-24), deterministic id over
+    (query, user, ts)."""
+    from cognee_spark.functions.ids import id_for_col
+
+    return spark.createDataFrame(
+        [(value, query_id, user_id, ts)],
+        "value string, query_id string, user_id string, created_at string",
+    ).select(
+        id_for_col("Result", F.col("query_id"), F.col("user_id"), F.col("created_at")).alias("id"),
+        "value", "query_id", "user_id",
+        F.col("created_at").cast("timestamp"),
+    )
+
+
+def get_history(
+    queries: DataFrame, results: DataFrame, user_id: str, limit: int = 10
+) -> DataFrame:
+    """The user's interleaved query/answer history
+    (operations/get_history.py:12-31): queries label ``user``, results label
+    ``system``, merged by created_at, first ``limit`` rows (limit<=0 =
+    everything, the reference's ``if limit > 0`` branch).
+
+    Deviation, documented: the reference orders by created_at alone, leaving
+    equal-timestamp rows in database order; id breaks ties here so the frame
+    is deterministic under any partitioning."""
+    q = queries.where(F.col("user_id") == user_id).select(
+        "id", "text", "created_at", F.lit("user").alias("user")
+    )
+    r = results.where(F.col("user_id") == user_id).select(
+        "id", F.col("value").alias("text"), "created_at", F.lit("system").alias("user")
+    )
+    hist = q.unionByName(r).orderBy("created_at", "id")
+    return hist.limit(limit) if limit > 0 else hist
