@@ -248,3 +248,111 @@ def cleanup_unused_data(
             run_stage(store, spark, stage, signature, lambda frame=frame: frame)
             committed.append(stage)
     return {"report": report, "kept": kept, "committed": committed}
+
+
+def forget(
+    store,
+    spark,
+    tables: dict[str, DataFrame],
+    *,
+    data_ids: list[str] | None = None,
+    dataset_id: str | None = None,
+    dataset_data: DataFrame | None = None,
+    everything: bool = False,
+    memory_only: bool = False,
+    dry_run: bool = False,
+    doc_col: str = "content_sha",
+) -> dict:
+    """Unified targeted deletion — the reference's ``cognee.forget`` verb
+    (api/v1/forget/forget.py:16-157), which replaced the separate
+    prune/delete/empty_dataset APIs with one mental model:
+
+    - ``forget(data_ids=[...], dataset_id=..., dataset_data=...)`` — drop
+      those items from that dataset;
+    - ``forget(dataset_id=..., dataset_data=...)`` — drop the dataset's
+      documents and everything derived from them;
+    - ``forget(everything=True)`` — drop the whole store's content;
+    - ``memory_only=True`` — keep the documents table (raw data) and drop
+      only the derived graph/vector rows, invalidating the derived stages'
+      checkpoints so the next run re-cognifies (the reference's
+      "reset pipeline status" branch, forget.py:235-260).
+
+    The reference deletes per item with ``datasets.delete_data`` loops; here
+    every mode reduces to ONE anti-join defining the surviving documents and
+    the same reachability cascade :func:`gc_graph` uses — deletes are new
+    ``gc_*`` commits, so ``store.rollback_to`` undoes a forget too.
+
+    Returns {"target": str, "items_removed": int, "report": DataFrame,
+    "kept": {...}, "committed": [...], "invalidated": [...]}.
+    """
+    from cognee_spark.store import run_stage
+
+    if dataset_id is not None and dataset_data is None:
+        raise ValueError("dataset_id requires the dataset_data membership frame")
+    if data_ids is not None and dataset_id is None and not everything:
+        # the reference requires a dataset with data_id (forget.py:48-52)
+        raise ValueError("data_ids requires dataset_id (or everything=True)")
+    if not everything and dataset_id is None:
+        raise ValueError("nothing to forget: pass data_ids+dataset_id, dataset_id, or everything=True")
+
+    documents = tables["documents"]
+    if everything:
+        target_docs = documents.select("document_id")
+        target = "everything"
+    else:
+        target_docs = dataset_data.where(
+            F.col("dataset_id") == dataset_id
+        ).select("document_id")
+        target = "dataset"
+        if data_ids is not None:
+            target_docs = target_docs.where(
+                F.col("document_id").isin([str(d) for d in data_ids])
+            )
+            target = "data_item"
+    if memory_only:
+        target += "_memory_only"
+
+    items_removed = target_docs.count()
+    live_docs = documents.join(target_docs, "document_id", "left_anti")
+    # one narrow fingerprint so repeated forgets with different targets never
+    # reuse a stale (stage, signature) commit — same rule as cleanup_unused_data
+    fp = (
+        live_docs.select(F.xxhash64(F.col(doc_col)).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("s"))
+        .first()
+    )
+    signature = f"forget:{target}:{fp.n}:{fp.s}"
+
+    kept = gc_graph(
+        live_docs,
+        tables["chunks"],
+        tables["mentions"],
+        tables["nodes"],
+        tables["triples"],
+        embeddings=tables.get("embeddings"),
+        summaries=tables.get("summaries"),
+        doc_col=doc_col,
+    )
+    if not memory_only:
+        kept["documents"] = live_docs.select(*documents.columns)
+    originals = {k: tables[k] for k in kept}
+    report = cleanup_report(originals, kept)
+    committed: list[str] = []
+    invalidated: list[str] = []
+    if not dry_run:
+        for name, frame in kept.items():
+            stage = f"gc_{name}"
+            run_stage(store, spark, stage, signature, lambda frame=frame: frame)
+            committed.append(stage)
+        if memory_only:
+            for name in kept:
+                store.invalidate(name)
+                invalidated.append(name)
+    return {
+        "target": target,
+        "items_removed": items_removed,
+        "report": report,
+        "kept": kept,
+        "committed": committed,
+        "invalidated": invalidated,
+    }

@@ -230,3 +230,91 @@ def test_hard_sweep_commits_live_documents_table(spark, tmp_path):
     gc_docs = spark.read.parquet(store.path("gc_documents"))
     assert gc_docs.count() == tables["documents"].count() - 1
     assert b_sha not in {r.content_sha for r in gc_docs.select("content_sha").collect()}
+
+
+# --- forget (api/v1/forget/forget.py unified deletion) -----------------------
+
+
+def _dataset_data_for(tables, spark):
+    docs = tables["documents"]
+    return docs.select(
+        F.when(F.col("path") == "docs/a.md", "ds_a").otherwise("ds_b").alias("dataset_id"),
+        "document_id",
+    )
+
+
+def test_forget_validates_target_selection(spark, tmp_path):
+    import pytest as _pytest
+
+    from cognee_spark.operators.cleanup import forget
+    from cognee_spark.store import TableStore
+
+    tables = _pipeline_tables(spark, tmp_path)
+    store = TableStore(str(tmp_path / "fstore"))
+    with _pytest.raises(ValueError):
+        forget(store, spark, tables)  # nothing selected
+    with _pytest.raises(ValueError):
+        forget(store, spark, tables, data_ids=["x"])  # data_ids needs a dataset
+    with _pytest.raises(ValueError):
+        forget(store, spark, tables, dataset_id="ds_a")  # needs membership frame
+
+
+def test_forget_dataset_drops_its_documents_and_derived_rows(spark, tmp_path):
+    from cognee_spark.operators.cleanup import forget
+    from cognee_spark.store import TableStore
+
+    tables = _pipeline_tables(spark, tmp_path)
+    store = TableStore(str(tmp_path / "fstore2"))
+    out = forget(
+        store, spark, tables,
+        dataset_id="ds_b", dataset_data=_dataset_data_for(tables, spark),
+    )
+    assert out["target"] == "dataset" and out["items_removed"] == 1
+    kept = out["kept"]
+    assert {r.path for r in kept["documents"].collect()} == {"docs/a.md"}
+    names = {r.name for r in kept["nodes"].collect()}
+    assert "zephyrservice" in names and "quokkaregistry" in names
+    assert "maplehub" not in names and "orchidstore" not in names
+    # committed as gc_* stages → rollback-able like a GC sweep
+    assert "gc_documents" in out["committed"]
+    assert store.read(spark, "gc_documents").count() == 1
+
+
+def test_forget_memory_only_keeps_documents_and_invalidates_stages(spark, tmp_path):
+    from cognee_spark.operators.cleanup import forget
+    from cognee_spark.store import TableStore
+
+    tables = _pipeline_tables(spark, tmp_path)
+    store = TableStore(str(tmp_path / "fstore3"))
+    # pretend the derived stages are committed so invalidation is observable
+    for name in ["chunks", "mentions", "nodes", "triples"]:
+        store.checkpoint(name, "sig")
+    out = forget(
+        store, spark, tables,
+        dataset_id="ds_b", dataset_data=_dataset_data_for(tables, spark),
+        memory_only=True,
+    )
+    assert out["target"] == "dataset_memory_only"
+    assert "documents" not in out["kept"]  # raw data preserved
+    assert "nodes" in out["invalidated"]
+    assert not store.is_complete("nodes", "sig")  # re-cognify will rebuild
+
+
+def test_forget_everything_and_data_item_modes(spark, tmp_path):
+    from cognee_spark.operators.cleanup import forget
+    from cognee_spark.store import TableStore
+
+    tables = _pipeline_tables(spark, tmp_path)
+    store = TableStore(str(tmp_path / "fstore4"))
+    dd = _dataset_data_for(tables, spark)
+    target_doc = dd.where(F.col("dataset_id") == "ds_a").first().document_id
+    item = forget(
+        store, spark, tables,
+        data_ids=[target_doc], dataset_id="ds_a", dataset_data=dd, dry_run=True,
+    )
+    assert item["target"] == "data_item" and item["items_removed"] == 1
+    assert {r.path for r in item["kept"]["documents"].collect()} == {"docs/b.md"}
+    allgone = forget(store, spark, tables, everything=True, dry_run=True)
+    assert allgone["target"] == "everything"
+    for name in ["documents", "chunks", "nodes", "triples"]:
+        assert allgone["kept"][name].count() == 0, name
