@@ -2078,6 +2078,98 @@ FROM src
 """
 
 
+def skill_run_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remember() skill-run entries → dataset-resolved object graph
+    (operators/remember.py persist_skill_runs; tools/skill_runs.py:70-170):
+    route typed entries, resolve each selected skill inside dataset ds0,
+    explode candidates / tool calls into child nodes, flatten into edges.
+    Output = per-run edge profile (run, rel, n); the oracle derives the
+    expected multiplicities independently from the generating parameters
+    (resolution predicate, candidate default, tool-trace arity)."""
+    from cognee_spark.operators.remember import (
+        persist_skill_runs,
+        route_memory_entries,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    skills = docs.where(d % 5 == 0).select(
+        F.concat(F.lit("sid-"), d.cast("string")).alias("id"),
+        F.concat(F.lit("sk"), d.cast("string")).alias("name"),
+        F.concat(F.lit("skill "), d.cast("string")).alias("description"),
+        (d % 15 != 5).alias("is_active"),
+        F.array(F.concat(F.lit("ds"), (d % 2).cast("string"))).alias(
+            "dataset_scope"
+        ),
+    )
+    sel = (d - 1).cast("string")
+    tool_calls = F.array(
+        F.struct(
+            F.lit("bash").alias("tool_name"),
+            F.lit("ok").alias("tool_output"),
+            F.lit(True).alias("success"),
+        ),
+        F.struct(
+            F.lit("read").alias("tool_name"),
+            F.lit("data").alias("tool_output"),
+            F.lit(True).alias("success"),
+        ),
+    )
+    entries = docs.where(d % 5 == 1).select(
+        F.lit("skill_run").alias("entry_type"),
+        F.lit("u1").alias("user_id"),
+        F.lit("s1").alias("session_id"),
+        d.cast("long").alias("seq"),
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("r"), d.cast("string")).alias("run_id"),
+                F.concat(F.lit("sk"), sel).alias("selected_skill_id"),
+                F.concat(F.lit("task "), d.cast("string")).alias("task_text"),
+                F.when(
+                    d % 3 == 0,
+                    F.array(
+                        F.concat(F.lit("sid-"), sel), F.lit("x1"), F.lit("x2")
+                    ),
+                ).alias("candidate_skill_ids"),
+                F.when(d % 4 == 0, tool_calls).alias("tool_trace"),
+            )
+        ).alias("payload"),
+    )
+    runs = route_memory_entries(entries)["skill_runs"]
+    out = persist_skill_runs(runs, skills, "ds0")
+    run_names = out["nodes"].where(F.col("kind") == "SkillRun").select(
+        F.col("node_id").alias("source_node_id"), F.col("name").alias("run")
+    )
+    return (
+        out["edges"]
+        .join(run_names, "source_node_id")
+        .groupBy("run", F.col("relationship_name").alias("rel"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("run", "rel")
+    )
+
+
+_SKILL_RUN_GRAPH_SQL = """
+WITH resolved AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 5 = 1
+    AND (doc_id - 1) % 2 = 0      -- skill scoped to ds0
+    AND (doc_id - 1) % 15 <> 5    -- skill active
+)
+SELECT 'r' || doc_id AS run, rel, n FROM (
+  SELECT doc_id, 'selected_skill' AS rel, 1::BIGINT AS n FROM resolved
+  UNION ALL
+  SELECT doc_id, 'belongs_to_set', 1::BIGINT FROM resolved
+  UNION ALL
+  SELECT doc_id, 'candidate_skills',
+         CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END::BIGINT FROM resolved
+  UNION ALL
+  SELECT doc_id, 'tool_trace', 2::BIGINT FROM resolved WHERE doc_id % 4 = 0
+)
+ORDER BY run, rel
+"""
+
+
 def acl_permitted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-scoped read authorization (acl.permitted_documents — the
     reference's get_document_ids_for_user.py:11-52 as semi-joins): datasets
@@ -2243,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_viz": subgraph_viz,
         "recall_normalized": recall_normalized,
         "skill_parse": skill_parse,
+        "skill_run_graph": skill_run_graph,
         "acl_permitted_docs": acl_permitted_docs,
         "search_history": search_history,
     }
@@ -2309,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "subgraph_viz": _SUBGRAPH_VIZ_SQL,
         "recall_normalized": _RECALL_NORMALIZED_SQL,
         "skill_parse": _SKILL_PARSE_SQL,
+        "skill_run_graph": _SKILL_RUN_GRAPH_SQL,
         "acl_permitted_docs": _ACL_PERMITTED_SQL,
         "search_history": _SEARCH_HISTORY_SQL,
     }

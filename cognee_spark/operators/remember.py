@@ -164,6 +164,9 @@ def route_memory_entries(entries: DataFrame) -> dict[str, DataFrame]:
         F.coalesce(F.col("error_message"), F.lit("")).alias("error_message"),
         F.coalesce(F.col("started_at_ms"), F.lit(0)).alias("started_at_ms"),
         F.coalesce(F.col("latency_ms"), F.lit(0)).alias("latency_ms"),
+        F.coalesce(F.col("candidate_skill_ids"), F.array())
+        .alias("candidate_skill_ids"),
+        F.coalesce(F.col("tool_trace"), F.array()).alias("tool_trace"),
         F.size(F.coalesce(F.col("candidate_skill_ids"), F.array()))
         .alias("n_candidates"),
         F.size(F.coalesce(F.col("tool_trace"), F.array())).alias("n_tool_calls"),
@@ -176,6 +179,171 @@ def route_memory_entries(entries: DataFrame) -> dict[str, DataFrame]:
         "skill_runs": skill_runs,
         "rejected": rejected,
     }
+
+
+# each tool_trace element is the raw JSON of one ToolCall
+# (engine/models/SkillRun.py:10-18)
+_TOOL_CALL_SCHEMA = (
+    "tool_name string, tool_output string, success boolean, duration_ms long"
+)
+
+
+def persist_skill_runs(
+    runs: DataFrame,
+    skills: DataFrame,
+    dataset_id: str,
+    node_set_name: str = "skills",
+) -> dict[str, DataFrame]:
+    """SkillRun rows → graph nodes + edges — the reference's
+    ``remember_skill_run_entry`` (tools/skill_runs.py:70-170) where each
+    entry resolves its selected skill inside one dataset, builds a SkillRun
+    DataPoint with CandidateSkill / ToolCall children and a NodeSet tag,
+    and hands the object graph to ``add_data_points`` (which flattens
+    nested DataPoint fields into edges named after the field).
+
+    Spark re-expression: resolution is ONE join against the dataset-scoped
+    active skills (matched on name or id, the two things the reference's
+    ``resolve_skills`` round-trips), children are explodes, and the flatten
+    is a union of four edge projections. The reference RAISES on an
+    unresolvable skill (one entry per call); a distributed batch must not
+    die on one bad row, so those land in ``unresolved`` with a reason —
+    the same fail-open rule ``route_memory_entries`` applies.
+
+    Determinism deviation, stated: the reference's child DataPoints get
+    random uuid4 ids; here every node id is uuid5 of its content position
+    (run_id, candidate skill_id, tool-call ordinal) so a replayed remember
+    batch upserts instead of duplicating — the engine's L2 rule.
+
+    Returns ``{"nodes", "edges", "unresolved"}``; nodes carry
+    (node_id, kind, name, text), edges carry
+    (source_node_id, relationship_name, target_node_id, edge_object_id).
+    """
+    from cognee_spark.functions.ids import edge_object_id_col
+
+    if not dataset_id:
+        raise ValueError("SkillRun persistence requires one explicit dataset.")
+    # resolve_skills.py:19-51 scope: active skills visible in the dataset,
+    # addressable by name (the remember() surface) or id (post-resolution
+    # re-persist). Exploding the two keys keeps resolution one equi-join.
+    scoped = skills.where(
+        F.col("is_active") & F.array_contains("dataset_scope", dataset_id)
+    )
+    keyed = scoped.select(
+        F.explode(F.array("name", "id")).alias("_skill_key"),
+        F.col("id").alias("_skill_id"),
+        F.col("name").alias("_skill_name"),
+        F.col("description").alias("_skill_description"),
+    ).dropDuplicates(["_skill_key"])
+    resolved = runs.join(
+        keyed, runs["selected_skill_id"] == keyed["_skill_key"], "left"
+    ).drop("_skill_key")
+    unresolved = resolved.where(F.col("_skill_id").isNull()).select(
+        "run_id", "user_id", "session_id",
+        F.concat(
+            F.lit("skill '"), F.col("selected_skill_id"),
+            F.lit(f"' was not found or is not visible in dataset '{dataset_id}'"),
+        ).alias("reason"),
+    )
+    ok = resolved.where(F.col("_skill_id").isNotNull())
+    # skill_runs.py:102 — candidate list defaults to just the selected skill
+    ok = ok.withColumn(
+        "_candidates",
+        F.when(
+            F.size("candidate_skill_ids") > 0, F.col("candidate_skill_ids")
+        ).otherwise(F.array(F.col("_skill_id"))),
+    )
+
+    node_set_id = id_for_col("NodeSet", F.lit(node_set_name))
+    run_nodes = ok.select(
+        F.col("skill_run_id").alias("node_id"),
+        F.lit("SkillRun").alias("kind"),
+        F.col("run_id").alias("name"),
+        F.col("task_text").alias("text"),
+    )
+    cand = ok.select(
+        "skill_run_id", "run_id", "_skill_id", "_skill_name",
+        "_skill_description",
+        F.explode("_candidates").alias("cand_skill_id"),
+    ).withColumn(
+        "cand_node_id",
+        id_for_col("CandidateSkill", F.col("run_id"), F.col("cand_skill_id")),
+    )
+    is_selected = F.col("cand_skill_id") == F.col("_skill_id")
+    cand_nodes = cand.select(
+        F.col("cand_node_id").alias("node_id"),
+        F.lit("CandidateSkill").alias("kind"),
+        # skill_runs.py:56-66 — only the SELECTED candidate is enriched;
+        # unselected ones keep their skill_id as the label (the reference
+        # stores it as CandidateSkill.skill_id, the node's only content)
+        F.when(is_selected, F.col("_skill_name"))
+        .otherwise(F.col("cand_skill_id")).alias("name"),
+        F.when(is_selected, F.col("_skill_description"))
+        .otherwise(F.lit("")).alias("text"),
+    )
+    tools = ok.select(
+        "skill_run_id", "run_id",
+        F.posexplode("tool_trace").alias("pos", "raw"),
+    ).select(
+        "skill_run_id", "run_id", "pos",
+        F.from_json("raw", _TOOL_CALL_SCHEMA).alias("_t"),
+    # skill_runs.py:46-53 _coerce_tool_trace skips non-dict items
+    ).where(F.col("_t.tool_name").isNotNull()).withColumn(
+        "tool_node_id",
+        id_for_col("ToolCall", F.col("run_id"), F.col("pos").cast("string")),
+    )
+    tool_nodes = tools.select(
+        F.col("tool_node_id").alias("node_id"),
+        F.lit("ToolCall").alias("kind"),
+        F.col("_t.tool_name").alias("name"),
+        F.coalesce(F.col("_t.tool_output"), F.lit("")).alias("text"),
+    )
+    set_nodes = ok.select(
+        node_set_id.alias("node_id"),
+        F.lit("NodeSet").alias("kind"),
+        F.lit(node_set_name).alias("name"),
+        F.lit("").alias("text"),
+    ).limit(1)
+    skill_nodes = ok.select(
+        F.col("_skill_id").alias("node_id"),
+        F.lit("Skill").alias("kind"),
+        F.col("_skill_name").alias("name"),
+        F.col("_skill_description").alias("text"),
+    ).dropDuplicates(["node_id"])
+    nodes = (
+        run_nodes.unionByName(cand_nodes).unionByName(tool_nodes)
+        .unionByName(set_nodes).unionByName(skill_nodes)
+        .dropDuplicates(["node_id"])
+    )
+
+    def _edges(df, src, rel, dst):
+        return df.select(
+            F.col(src).alias("source_node_id"),
+            F.lit(rel).alias("relationship_name"),
+            F.col(dst).alias("target_node_id"),
+        )
+
+    edges = (
+        _edges(ok, "skill_run_id", "selected_skill", "_skill_id")
+        .unionByName(_edges(cand, "skill_run_id", "candidate_skills", "cand_node_id"))
+        .unionByName(_edges(tools, "skill_run_id", "tool_trace", "tool_node_id"))
+        .unionByName(
+            ok.select(
+                F.col("skill_run_id").alias("source_node_id"),
+                F.lit("belongs_to_set").alias("relationship_name"),
+                node_set_id.alias("target_node_id"),
+            )
+        )
+        .withColumn(
+            "edge_object_id",
+            edge_object_id_col(
+                F.col("source_node_id"),
+                F.col("relationship_name"),
+                F.col("target_node_id"),
+            ),
+        )
+        .dropDuplicates(["edge_object_id"])
+    )
+    return {"nodes": nodes, "edges": edges, "unresolved": unresolved}
 
 
 def apply_feedback(qa: DataFrame, feedback: DataFrame) -> DataFrame:

@@ -98,3 +98,62 @@ def test_skill_run_validation_rejects_like_the_reference(spark):
     assert "selected_skill_id" in reasons[5]
     # deterministic node id from run_id
     assert runs["r0"].skill_run_id == runs["r0"].skill_run_id
+
+
+def _skills(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id string, name string, description string, is_active boolean, "
+        "dataset_scope array<string>",
+    )
+
+
+def test_persist_skill_runs_builds_object_graph(spark):
+    skills = _skills(spark, [
+        ("sid-1", "sk1", "does x", True, ["ds1"]),
+        ("sid-2", "sk2", "does y", True, ["ds2"]),      # wrong dataset
+        ("sid-3", "sk3", "does z", False, ["ds1"]),     # inactive
+    ])
+    rows = [
+        ("skill_run", "u1", "s1", 0, json.dumps({
+            "run_id": "r0", "selected_skill_id": "sk1", "task_text": "do x",
+            "candidate_skill_ids": ["sid-1", "sid-9"],
+            "tool_trace": [
+                {"tool_name": "bash", "tool_output": "ok", "success": True},
+                "not-a-dict",
+            ],
+        })),
+        ("skill_run", "u1", "s1", 1, json.dumps({
+            "run_id": "r1", "selected_skill_id": "sid-1"})),   # resolve by id
+        ("skill_run", "u1", "s1", 2, json.dumps({
+            "run_id": "r2", "selected_skill_id": "sk2"})),     # wrong dataset
+        ("skill_run", "u1", "s1", 3, json.dumps({
+            "run_id": "r3", "selected_skill_id": "sk3"})),     # inactive
+    ]
+    runs = R.route_memory_entries(_entries(spark, rows))["skill_runs"]
+    out = R.persist_skill_runs(runs, skills, "ds1", node_set_name="skills")
+
+    bad = {r.run_id: r.reason for r in out["unresolved"].collect()}
+    assert set(bad) == {"r2", "r3"} and "ds1" in bad["r2"]
+
+    nodes = {(r.kind, r.name) for r in out["nodes"].collect()}
+    assert ("SkillRun", "r0") in nodes and ("SkillRun", "r1") in nodes
+    assert ("Skill", "sk1") in nodes
+    assert ("CandidateSkill", "sk1") in nodes       # selected → enriched name
+    assert ("CandidateSkill", "sid-9") in nodes     # unselected → skill_id label
+    assert ("ToolCall", "bash") in nodes            # non-dict trace item skipped
+    assert ("NodeSet", "skills") in nodes
+    assert sum(1 for k, _ in nodes if k == "ToolCall") == 1
+
+    rels = {}
+    for r in out["edges"].collect():
+        rels[r.relationship_name] = rels.get(r.relationship_name, 0) + 1
+    # r1's empty candidate list defaults to the selected skill (skill_runs.py:102)
+    assert rels == {
+        "selected_skill": 2, "candidate_skills": 3,
+        "tool_trace": 1, "belongs_to_set": 2,
+    }
+    # replayed batch upserts: identical ids both times
+    again = R.persist_skill_runs(runs, skills, "ds1")
+    assert sorted(r.edge_object_id for r in out["edges"].collect()) == \
+        sorted(r.edge_object_id for r in again["edges"].collect())
