@@ -2078,6 +2078,57 @@ FROM src
 """
 
 
+def regex_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven regex entity extraction (operators/entity_completion.py;
+    regex_entity_extractor.py:12-73): the default EMAIL/PHONE/URL/DATE/TIME
+    config over synthetic chunks carrying known entities. The oracle derives
+    the expected match set from the generating parameters — no regex engine
+    runs on the oracle side."""
+    from cognee_spark.operators.entity_completion import extract_regex_entities
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    chunks = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("c"), ds).alias("chunk_id"),
+        F.concat(
+            F.lit("Mail user"), ds, F.lit("@mail"), (d % 7).cast("string"),
+            F.lit(".com and x"), ds, F.lit("@y.net go https://ex"),
+            (d % 5).cast("string"), F.lit(".org/p"), ds,
+            F.lit(" on 2024-03-"), (d % 19 + 10).cast("string"),
+            F.lit(" at 10:3"), (d % 10).cast("string"), F.lit(" ok"),
+        ).alias("text"),
+    )
+    return (
+        extract_regex_entities(chunks)
+        .select("chunk_id", "entity_type", "match_pos", "name", "description")
+        .orderBy("chunk_id", "entity_type", "match_pos")
+    )
+
+
+_REGEX_ENTITIES_SQL = """
+WITH d AS (SELECT doc_id, 'c' || doc_id AS chunk_id FROM documents),
+m AS (
+  SELECT chunk_id, 'EMAIL' AS entity_type, 0::INT AS match_pos,
+         'user' || doc_id || '@mail' || (doc_id % 7) || '.com' AS name,
+         'Email address: ' AS prefix FROM d
+  UNION ALL
+  SELECT chunk_id, 'EMAIL', 1::INT, 'x' || doc_id || '@y.net',
+         'Email address: ' FROM d
+  UNION ALL
+  SELECT chunk_id, 'URL', 0::INT,
+         'https://ex' || (doc_id % 5) || '.org/p' || doc_id, 'URL: ' FROM d
+  UNION ALL
+  SELECT chunk_id, 'DATE', 0::INT, '2024-03-' || (doc_id % 19 + 10),
+         'Date: ' FROM d
+  UNION ALL
+  SELECT chunk_id, 'TIME', 0::INT, '10:3' || (doc_id % 10), 'Time: ' FROM d
+)
+SELECT chunk_id, entity_type, match_pos, name, prefix || name AS description
+FROM m
+ORDER BY chunk_id, entity_type, match_pos
+"""
+
+
 def skill_run_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """remember() skill-run entries → dataset-resolved object graph
     (operators/remember.py persist_skill_runs; tools/skill_runs.py:70-170):
@@ -2336,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_normalized": recall_normalized,
         "skill_parse": skill_parse,
         "skill_run_graph": skill_run_graph,
+        "regex_entities": regex_entities,
         "acl_permitted_docs": acl_permitted_docs,
         "search_history": search_history,
     }
@@ -2403,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
         "recall_normalized": _RECALL_NORMALIZED_SQL,
         "skill_parse": _SKILL_PARSE_SQL,
         "skill_run_graph": _SKILL_RUN_GRAPH_SQL,
+        "regex_entities": _REGEX_ENTITIES_SQL,
         "acl_permitted_docs": _ACL_PERMITTED_SQL,
         "search_history": _SEARCH_HISTORY_SQL,
     }

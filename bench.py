@@ -44,7 +44,7 @@ def _sf_of(sf_dir: str) -> float:
 # 13% phantom "regression" on code paths that hadn't changed.
 
 _AB_RUNNER = """
-import json, sys, time
+import json, re, shutil, sys, tempfile, time
 worktree, sf_dir, cpus, names = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4].split(",")
 sys.path.insert(0, worktree)
 from cognee_spark.session import get_spark
@@ -54,6 +54,24 @@ spark = get_spark(app_name="cognee_spark_bench_ab", master=f"local[{cpus}]",
 registry = entry_mod.queries()
 timings, total = {}, 0.0
 for name in names:
+    if name == "kg_pipeline":
+        # headline query: end-to-end KG construction, same corpus/scope as the
+        # main bench (run_pipeline signature is round-stable)
+        from cognee_spark.pipeline import run_pipeline
+        from cognee_spark.sources.corpus import build_repos_df
+        m = re.search(r"sf([0-9.]+)", sf_dir)
+        n_files = max(210, int((float(m.group(1)) if m else 0.1) * 50_000))
+        root = tempfile.mkdtemp(prefix="cognee_ab_kg")
+        try:
+            started = time.perf_counter()
+            run_pipeline(spark, build_repos_df(spark, n_files), root,
+                         f"ab:{n_files}", compute_metrics=False, force=True,
+                         with_summaries=False, with_index=False)
+            timings[name] = round(time.perf_counter() - started, 3)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        total += timings[name]
+        continue
     if name not in registry:
         continue
     started = time.perf_counter()
@@ -249,7 +267,8 @@ def main() -> None:
     # (separates code effects from machine state; ±15% noise floor measured)
     ab = None
     if os.environ.get("SPARK_GRAFT_AB", "1") != "0" or "--ab" in sys.argv:
-        ab = _ab_baseline(bench_queries, sf_dir, cpus)
+        # the headline pipeline is gated too (it isn't a queries() entry)
+        ab = _ab_baseline(bench_queries + ["kg_pipeline"], sf_dir, cpus)
 
     print(
         json.dumps(
