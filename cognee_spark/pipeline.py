@@ -370,6 +370,76 @@ def run_pipeline(
     return {"tables": tables, "metrics": metrics}
 
 
+def run_custom_pipeline(
+    spark: SparkSession,
+    tasks: list,
+    data: DataFrame,
+    store_root: str,
+    pipeline_name: str = "custom_pipeline",
+    signature: str = "",
+    use_pipeline_cache: bool = True,
+    force: bool = False,
+) -> dict:
+    """User-supplied task chain over the engine's commit/resume machinery —
+    the reference's ``run_custom_pipeline`` (modules/run_custom_pipeline/
+    run_custom_pipeline.py:14-86): arrange caller Tasks into a pipeline,
+    forward ``data`` to the first task, feed each task's output to the next,
+    and skip pipelines already completed under the same id when
+    ``use_pipeline_cache`` is set.
+
+    Spark re-expression: a Task is a ``DataFrame -> DataFrame`` callable
+    (or a ``(name, callable)`` pair, or a name registered in
+    ``cognee_spark.registry.CUSTOM_TASKS``); every task boundary is a
+    checkpointed table commit, so the pipeline-cache rule IS the store's
+    stage-resume rule — a re-run with the same (pipeline, task list,
+    signature) reads committed tables instead of recomputing, and a killed
+    run resumes mid-chain. The reference's ``data_per_batch`` knob
+    dissolves into Spark partitioning; ``run_in_background`` into the
+    caller's own thread (stage commits are concurrency-safe, test_store).
+
+    Returns ``{"tables": {stage: df}, "result": last_df, "metrics": [...]}``.
+    """
+    from cognee_spark.registry import CUSTOM_TASKS, resolve
+
+    if not tasks:
+        raise ValueError("run_custom_pipeline requires at least one task")
+    named = []
+    for i, task in enumerate(tasks):
+        if isinstance(task, tuple):
+            name, fn = task
+        elif isinstance(task, str):
+            name, fn = task, resolve(CUSTOM_TASKS, task)
+        else:
+            name = getattr(task, "__name__", f"task{i}")
+            fn = task
+        named.append((f"{i:02d}_{name}", fn))
+
+    store = TableStore(store_root)
+    # the pipeline id folds in the ORDERED task names (generate_pipeline_id
+    # parity: same tasks + same signature → cache hit; any reorder/rename
+    # recomputes) — callers fold data identity into `signature`.
+    chain_sig = f"{signature}|{'>'.join(n for n, _ in named)}"
+    tables: dict[str, DataFrame] = {}
+    current = data
+    for stage_name, fn in named:
+        stage = f"{pipeline_name}.{stage_name}"
+        prev = current
+
+        def _build(prev=prev, fn=fn, stage_name=stage_name):
+            return (
+                fn(prev)
+                .withColumn("source_pipeline", F.lit(pipeline_name))
+                .withColumn("source_task", F.lit(stage_name))
+            )
+
+        current = run_stage(
+            store, spark, stage, chain_sig, _build,
+            force=force or not use_pipeline_cache,
+        )
+        tables[stage] = current
+    return {"tables": tables, "result": current, "metrics": store.checkpoints()}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="cognee_spark cognify pipeline")
     parser.add_argument("--n-files", type=int, default=1000, help="synthetic corpus size")

@@ -52,6 +52,17 @@ SUMMARIZERS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "extractive": summarize_chunks,
 }
 
+# Named tasks for run_custom_pipeline's `List[str]` form (the reference
+# resolves task names through its DI layer) — each is DataFrame -> DataFrame
+# with engine defaults; register custom ones the same way as kernels.
+CUSTOM_TASKS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "chunk": chunk_documents,
+    "chunk_rows": chunk_rows_documents,
+    "extract": extract_from_chunks,
+    "extract_cascade": cascade_extract_from_chunks,
+    "summarize": summarize_chunks,
+}
+
 
 def resolve(registry: dict, name_or_fn):
     """Accept either a registered name or a direct callable."""
