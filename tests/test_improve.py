@@ -1,0 +1,102 @@
+"""Unified improve() verb (cognee_spark/improve.py) vs the reference's
+staged improvement flow (api/v1/improve/improve.py:35-170)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cognee_spark.improve import improve
+
+
+def _tables(spark):
+    edges = spark.createDataFrame(
+        [("e1", 0.5), ("e2", 0.5)], "edge_object_id string, feedback_weight double"
+    )
+    triples = spark.createDataFrame(
+        [("spark", "uses", "catalyst", "s1"), ("spark", "uses", "tungsten", "s2")],
+        "subj string, pred string, obj string, content_sha string",
+    )
+    nodes = spark.createDataFrame(
+        [("n1", "spark"), ("n2", "catalyst")], "entity_id string, name string"
+    )
+    summaries = spark.createDataFrame(
+        [("su1", "spark summary"), ("su2", "catalyst summary")],
+        "summary_id string, summary string",
+    )
+    return {"edges": edges, "triples": triples, "nodes": nodes, "summaries": summaries}
+
+
+def _sessions(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", "s1", 0, "how to join?", "use broadcast."),
+            ("u1", "s2", 0, "other?", "other answer."),
+        ],
+        "user_id string, session_id string, seq long, question string, answer string",
+    )
+
+
+def _entries(spark):
+    return spark.createDataFrame(
+        [
+            ("s1", "e1", "2024-01-01", "spark", "joins",
+             "Prefer broadcast joins for dimension tables.", 0, 0.9),
+            ("s2", "e2", "2024-01-01", "spark", "joins",
+             "Low-confidence note.", 0, 0.1),  # gated out
+        ],
+        "session_id string, entry_id string, created_at string, "
+        "context_profile string, section string, content string, "
+        "harmful_count int, confidence double",
+    )
+
+
+def test_without_sessions_only_stage3_runs(spark, tmp_path):
+    out = improve(spark, str(tmp_path), _tables(spark))
+    assert out["feedback"]["status"] == "skipped"
+    assert out["sessions"]["status"] == "skipped"
+    assert out["distillation"]["status"] == "skipped"
+    assert out["context_index"]["status"] == "skipped"
+    assert out["truth"]["status"] == "skipped"
+    emb = out["triplet_index"]["embeddings"]
+    assert out["triplet_index"]["status"] == "completed"
+    assert emb.count() == 2
+    assert {r.text for r in emb.collect()} == {
+        "spark-›uses-›catalyst", "spark-›uses-›tungsten"
+    }
+
+
+def test_node_name_scopes_stage3(spark, tmp_path):
+    out = improve(
+        spark, str(tmp_path), _tables(spark), node_name=["tungsten"]
+    )
+    assert [r.text for r in out["triplet_index"]["embeddings"].collect()] == [
+        "spark-›uses-›tungsten"
+    ]
+
+
+def test_full_session_bridge(spark, tmp_path):
+    feedback = spark.createDataFrame(
+        [("e1", "s1", 0, 5)],
+        "element_id string, session_id string, seq long, feedback_score int",
+    )
+    out = improve(
+        spark, str(tmp_path), _tables(spark),
+        sessions=_sessions(spark), entries=_entries(spark), feedback=feedback,
+        session_ids=["s1"],
+        build_global_context_index=True, build_truth_subspace=True,
+    )
+    # stage 1: rated edge moved up, unrated unchanged
+    w = {r.edge_object_id: r.feedback_weight for r in out["feedback"]["edges"].collect()}
+    assert w["e1"] > 0.5 and w["e2"] == 0.5
+    # stage 2: only s1 persisted (session_ids scope)
+    assert out["sessions"]["status"] == "completed"
+    assert out["sessions"]["windows"] == 1
+    # stage 2c: the gated s1 entry distilled into a lesson document
+    assert out["distillation"]["status"] == "completed"
+    assert out["distillation"]["lessons"] >= 1
+    # stage 3 + 4 + truth all ran
+    assert out["triplet_index"]["status"] == "completed"
+    assert out["context_index"]["status"] == "completed"
+    assert out["truth"]["status"] == "completed"
+    coords = out["truth"]["coords"]
+    assert coords.count() == 2 and "truth_alignment" in coords.columns
