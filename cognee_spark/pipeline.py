@@ -440,6 +440,46 @@ def run_custom_pipeline(
     return {"tables": tables, "result": current, "metrics": store.checkpoints()}
 
 
+def update_data(
+    spark: SparkSession,
+    store_root: str,
+    repos: DataFrame,
+    new_rows: DataFrame,
+    id_cols: tuple[str, ...] = ("repo", "path"),
+    **pipeline_kwargs,
+) -> dict:
+    """The ``cognee.update`` verb (api/v1/update/update.py:12-108):
+    ``delete_data(data_id)`` → ``add(new data)`` → ``cognify(incremental)``
+    over one data item.
+
+    Spark re-expression: replace = one anti-join on the item's identity
+    columns + union of the replacement rows; re-derive = ``run_pipeline``
+    under a CONTENT-derived signature, so derived tables recompute exactly
+    when the corpus changed and resume untouched otherwise. The reference's
+    ``incremental_loading`` content-hash skip becomes idempotent upsert:
+    unchanged documents re-derive byte-identical rows (deterministic ids),
+    so the merged graph is the same one an item-level skip would produce.
+
+    ``new_rows`` must carry the corpus schema; rows whose ``id_cols`` match
+    existing rows REPLACE them, unmatched rows are plain adds. Returns the
+    ``run_pipeline`` dict plus {"corpus": updated_frame, "replaced": n}.
+    """
+    keys = new_rows.select(*id_cols).distinct()
+    replaced = repos.join(keys, list(id_cols), "left_semi").count()
+    updated = repos.join(keys, list(id_cols), "left_anti").unionByName(new_rows)
+    fp = (
+        updated.select(F.xxhash64(*updated.columns).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("s"))
+        .first()
+    )
+    out = run_pipeline(
+        spark, updated, store_root, f"update:{fp.n}:{fp.s}", **pipeline_kwargs
+    )
+    out["corpus"] = updated
+    out["replaced"] = replaced
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="cognee_spark cognify pipeline")
     parser.add_argument("--n-files", type=int, default=1000, help="synthetic corpus size")
