@@ -157,3 +157,18 @@ def test_persist_skill_runs_builds_object_graph(spark):
     again = R.persist_skill_runs(runs, skills, "ds1")
     assert sorted(r.edge_object_id for r in out["edges"].collect()) == \
         sorted(r.edge_object_id for r in again["edges"].collect())
+
+
+def test_routing_and_persist_plans_are_pure_codegen(spark):
+    entries = _entries(spark, [
+        ("skill_run", "u1", "s1", 0,
+         json.dumps({"run_id": "r0", "selected_skill_id": "sk1"})),
+    ])
+    skills = _skills(spark, [("sid-1", "sk1", "d", True, ["ds1"])])
+    out = R.persist_skill_runs(
+        R.route_memory_entries(entries)["skill_runs"], skills, "ds1"
+    )
+    for frame in (out["nodes"], out["edges"], out["unresolved"]):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan

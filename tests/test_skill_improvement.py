@@ -115,3 +115,15 @@ def test_apply_rewrites_skill_and_marks_proposal(spark):
     assert got["sk2"].skill_text == "t2"
     statuses = {r.proposal_id: r.status for r in out["proposals"].collect()}
     assert statuses[pid] == "applied"
+
+
+def test_selection_and_context_plans_stay_jvm_side(spark):
+    runs = _runs(spark, [("r1", "sk1", 0.2, "", "", "bad", 100)])
+    skills = _skills(spark, [
+        ("sid-1", "sk1", "d", "p", "", "", True, ["ds1"]),
+    ])
+    ctxs = SI.render_improvement_contexts(SI.find_failure_runs(runs), skills, "ds1")
+    plan = ctxs._jdf.queryExecution().executedPlan().toString()
+    # everything up to the drafting transport is codegen joins/folds
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
