@@ -2078,6 +2078,57 @@ FROM src
 """
 
 
+def skill_failure_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-run selection for skill improvement
+    (operators/skill_improvement.find_failure_runs; memify/
+    skill_improvement.py:124-131): below-threshold or errored runs, most
+    recent max_runs per skill with a deterministic tie-break — one window
+    over a synthetic runs table derived from events."""
+    from cognee_spark.operators.skill_improvement import find_failure_runs
+
+    e = _t(spark, sf_dir, "events")
+    runs = e.select(
+        F.concat(F.lit("r"), F.col("event_id").cast("string")).alias("run_id"),
+        F.concat(F.lit("sk"), (F.col("user_id") % 20).cast("string")).alias(
+            "selected_skill_id"
+        ),
+        ((F.col("event_id") % 10) / 10.0).alias("success_score"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("Timeout"))
+        .otherwise(F.lit("")).alias("error_type"),
+        F.lit("").alias("error_message"),
+        F.col("event_type").alias("result_summary"),
+        F.col("event_id").cast("long").alias("started_at_ms"),
+    )
+    return (
+        find_failure_runs(runs, score_threshold=0.5, max_runs=3)
+        .select("run_id", "selected_skill_id", "success_score", "error_type")
+        .orderBy("selected_skill_id", "run_id")
+    )
+
+
+_SKILL_FAILURE_SQL = """
+WITH runs AS (
+  SELECT 'r' || event_id AS run_id,
+         'sk' || (user_id % 20) AS selected_skill_id,
+         (event_id % 10) / 10.0 AS success_score,
+         CASE WHEN event_id % 7 = 0 THEN 'Timeout' ELSE '' END AS error_type,
+         event_id AS started_at_ms
+  FROM events
+),
+failing AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY selected_skill_id
+    ORDER BY started_at_ms DESC, run_id DESC
+  ) AS rn
+  FROM runs
+  WHERE success_score < 0.5 OR error_type <> ''
+)
+SELECT run_id, selected_skill_id, success_score, error_type
+FROM failing WHERE rn <= 3
+ORDER BY selected_skill_id, run_id
+"""
+
+
 def regex_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Config-driven regex entity extraction (operators/entity_completion.py;
     regex_entity_extractor.py:12-73): the default EMAIL/PHONE/URL/DATE/TIME
@@ -2387,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_normalized": recall_normalized,
         "skill_parse": skill_parse,
         "skill_run_graph": skill_run_graph,
+        "skill_failure_runs": skill_failure_runs,
         "regex_entities": regex_entities,
         "acl_permitted_docs": acl_permitted_docs,
         "search_history": search_history,
@@ -2455,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         "recall_normalized": _RECALL_NORMALIZED_SQL,
         "skill_parse": _SKILL_PARSE_SQL,
         "skill_run_graph": _SKILL_RUN_GRAPH_SQL,
+        "skill_failure_runs": _SKILL_FAILURE_SQL,
         "regex_entities": _REGEX_ENTITIES_SQL,
         "acl_permitted_docs": _ACL_PERMITTED_SQL,
         "search_history": _SEARCH_HISTORY_SQL,
