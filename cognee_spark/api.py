@@ -155,3 +155,34 @@ class Cognee:
         from cognee_spark.pipeline import run_custom_pipeline as _rcp
 
         return _rcp(self.spark, tasks, data, self.root, **kwargs)
+
+    def memify(
+        self,
+        extraction_tasks=None,
+        enrichment_tasks=None,
+        data: DataFrame | None = None,
+        node_name: list[str] | None = None,
+        **kwargs,
+    ) -> dict:
+        """``cognee.memify`` (modules/memify/memify.py:25-115) — enrichment
+        over the EXISTING graph: when no data is given, the input is the
+        graph fragment (node_name-filtered triples, the reference's
+        get_memory_fragment); default tasks are the reference's defaults —
+        extraction = triplet datapoints, enrichment = index the datapoints
+        (memify_default_tasks.py:8-17; here the stage commit IS the vector
+        sink write, so the enrichment default commits the collection)."""
+        from cognee_spark.operators.indexing import build_triplet_index
+
+        if data is None:
+            data = self._graph()["triples"]
+            if node_name:
+                data = data.where(
+                    F.col("subj").isin(*node_name) | F.col("obj").isin(*node_name)
+                )
+        tasks = list(
+            extraction_tasks
+            or [("get_triplet_datapoints", build_triplet_index)]
+        ) + list(enrichment_tasks or [("index_data_points", lambda df: df)])
+        return self.run_custom_pipeline(
+            tasks, data, pipeline_name="memify", **kwargs
+        )

@@ -73,3 +73,22 @@ def test_remember_update_forget(spark, tmp_path):
     # forget everything in memory-only mode keeps documents, drops the graph
     result = engine.forget(everything=True, memory_only=True)
     assert result["items_removed"] == engine.corpus().count()
+
+
+def test_memify_defaults_build_triplet_collection(spark, tmp_path):
+    engine = Cognee(spark, str(tmp_path / "kg"))
+    engine.add(["alpha depends on beta.", "gamma depends on delta."])
+    engine.cognify(with_summaries=False, with_index=False)
+    out = engine.memify(signature="v1")
+    rows = out["result"].collect()
+    assert rows and all(r.collection == "Triplet_text" for r in rows)
+    texts = {r.text for r in rows}
+    assert "alpha-›depends_on-›beta" in texts
+    assert set(out["tables"]) == {
+        "memify.00_get_triplet_datapoints", "memify.01_index_data_points"
+    }
+    # node_name filters the fragment (memify.py:33 node_name=)
+    scoped = engine.memify(node_name=["gamma"], signature="v2")
+    assert {r.text for r in scoped["result"].collect()} == {
+        "gamma-›depends_on-›delta"
+    }
