@@ -2078,6 +2078,65 @@ FROM src
 """
 
 
+def feedback_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feedback-QA extraction (operators/feedback.extract_feedback_events;
+    extract_feedback_qas.py:16-45): eligibility filter (score 1..5, not yet
+    applied, has used elements) + per-element fan-out, over QA entries
+    synthesized from events."""
+    from cognee_spark.operators.feedback import extract_feedback_events
+
+    e = _t(spark, sf_dir, "events")
+    d = F.col("event_id")
+    qa = e.select(
+        F.lit("u1").alias("user_id"),
+        F.concat(F.lit("s"), (F.col("user_id") % 5).cast("string")).alias(
+            "session_id"
+        ),
+        d.cast("long").alias("seq"),
+        (d % 8).cast("int").alias("feedback_score"),
+        F.when(
+            d % 3 != 0,
+            F.array(F.concat(F.lit("n"), (d % 10).cast("string"))),
+        ).alias("used_node_ids"),
+        F.when(
+            d % 2 == 0,
+            F.array(F.concat(F.lit("e"), (d % 6).cast("string"))),
+        ).alias("used_edge_ids"),
+        (d % 7 == 0).alias("weights_applied"),
+    )
+    return (
+        extract_feedback_events(qa)["events"]
+        .orderBy("seq", "element_kind", "element_id")
+    )
+
+
+_FEEDBACK_EVENTS_SQL = """
+WITH qa AS (
+  SELECT event_id AS seq, (event_id % 8)::INT AS feedback_score,
+         CASE WHEN event_id % 3 <> 0 THEN ['n' || (event_id % 10)] END AS node_ids,
+         CASE WHEN event_id % 2 = 0 THEN ['e' || (event_id % 6)] END AS edge_ids,
+         (event_id % 7 = 0) AS applied
+  FROM events
+),
+eligible AS (
+  SELECT * FROM qa
+  WHERE feedback_score BETWEEN 1 AND 5 AND NOT applied
+    AND (COALESCE(len(node_ids), 0) > 0 OR COALESCE(len(edge_ids), 0) > 0)
+),
+fanout AS (
+  SELECT unnest(node_ids) AS element_id, 'node' AS element_kind,
+         seq, feedback_score
+  FROM eligible WHERE node_ids IS NOT NULL
+  UNION ALL
+  SELECT unnest(edge_ids), 'edge', seq, feedback_score
+  FROM eligible WHERE edge_ids IS NOT NULL
+)
+SELECT element_id, element_kind, seq, feedback_score
+FROM fanout
+ORDER BY seq, element_kind, element_id
+"""
+
+
 def skill_failure_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Failure-run selection for skill improvement
     (operators/skill_improvement.find_failure_runs; memify/
@@ -2439,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skill_parse": skill_parse,
         "skill_run_graph": skill_run_graph,
         "skill_failure_runs": skill_failure_runs,
+        "feedback_events": feedback_events,
         "regex_entities": regex_entities,
         "acl_permitted_docs": acl_permitted_docs,
         "search_history": search_history,
@@ -2508,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         "skill_parse": _SKILL_PARSE_SQL,
         "skill_run_graph": _SKILL_RUN_GRAPH_SQL,
         "skill_failure_runs": _SKILL_FAILURE_SQL,
+        "feedback_events": _FEEDBACK_EVENTS_SQL,
         "regex_entities": _REGEX_ENTITIES_SQL,
         "acl_permitted_docs": _ACL_PERMITTED_SQL,
         "search_history": _SEARCH_HISTORY_SQL,

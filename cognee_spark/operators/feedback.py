@@ -126,3 +126,60 @@ def apply_feedback_to_edges(
         .withColumn("feedback_weight", F.coalesce("_new_weight", "feedback_weight"))
         .drop("_new_weight")
     )
+
+
+def extract_feedback_events(
+    qa: DataFrame,
+    node_col: str = "used_node_ids",
+    edge_col: str = "used_edge_ids",
+    applied_col: str = "weights_applied",
+) -> dict[str, DataFrame]:
+    """Session QA entries → per-element feedback events — the extraction
+    half of the reference's feedback pipeline (tasks/memify/
+    extract_feedback_qas.py:16-45 ``_is_eligible`` + per-entry fan-out):
+    an entry is eligible when its score is an integer 1..5, the weights
+    were NOT already applied (the memify_metadata exactly-once flag), and
+    it names at least one used graph element; each eligible entry fans out
+    into one event per used node/edge id.
+
+    ``qa``: (user_id, session_id, seq, feedback_score, <node_col>,
+    <edge_col>, <applied_col>) where the id columns are array<string> and
+    ``seq`` is the caller's global event order (the fold in
+    :func:`feedback_weight_updates` orders per element by it).
+
+    Returns {"events": (element_id, element_kind, seq, feedback_score),
+    "applied": the input with <applied_col> set true on processed rows} —
+    committing ``applied`` back is the reference's mark-on-full-success
+    step, making a replayed extraction yield zero events (exactly-once).
+    """
+    score = F.col("feedback_score")
+    nodes = F.coalesce(F.col(node_col), F.array().cast("array<string>"))
+    edges = F.coalesce(F.col(edge_col), F.array().cast("array<string>"))
+    has_elements = (F.size(nodes) > 0) | (F.size(edges) > 0)
+    eligible = (
+        score.isNotNull()
+        & (score >= 1)
+        & (score <= 5)
+        & ~F.coalesce(F.col(applied_col), F.lit(False))
+        & has_elements
+    )
+    src = qa.where(eligible)
+    tagged = F.concat(
+        F.transform(nodes, lambda i: F.struct(i.alias("element_id"),
+                                              F.lit("node").alias("element_kind"))),
+        F.transform(edges, lambda i: F.struct(i.alias("element_id"),
+                                              F.lit("edge").alias("element_kind"))),
+    )
+    events = src.select(
+        F.col("seq").cast("long").alias("seq"),
+        score.cast("int").alias("feedback_score"),
+        F.explode(tagged).alias("_e"),
+    ).select(
+        F.col("_e.element_id").alias("element_id"),
+        F.col("_e.element_kind").alias("element_kind"),
+        "seq", "feedback_score",
+    ).where(F.col("element_id").isNotNull() & (F.col("element_id") != ""))
+    applied = qa.withColumn(
+        applied_col, F.coalesce(F.col(applied_col), F.lit(False)) | eligible
+    )
+    return {"events": events, "applied": applied}

@@ -131,3 +131,52 @@ def test_write_back_and_reranking(spark):
     ).collect()
     # z has weight 1.0 (positive) → lower score → rank 1; y demoted
     assert [(r.obj, r.rank) for r in sorted(top, key=lambda r: r.rank)] == [("z", 1), ("y", 2)]
+
+
+def test_extract_feedback_events_eligibility_and_fanout(spark):
+    from cognee_spark.operators.feedback import (
+        apply_feedback_to_edges,
+        extract_feedback_events,
+        feedback_weight_updates,
+    )
+
+    qa = spark.createDataFrame(
+        [
+            # eligible: nodes + edges fan out
+            ("u1", "s1", 0, 5, ["n1", "n2"], ["e1"], False),
+            # already applied → skipped (exactly-once flag)
+            ("u1", "s1", 1, 5, ["n1"], [], True),
+            # score out of range → skipped
+            ("u1", "s1", 2, 9, ["n1"], [], False),
+            # no elements → skipped
+            ("u1", "s1", 3, 4, [], [], False),
+            # eligible, edge only
+            ("u1", "s2", 4, 1, None, ["e1"], False),
+        ],
+        "user_id string, session_id string, seq long, feedback_score int, "
+        "used_node_ids array<string>, used_edge_ids array<string>, "
+        "weights_applied boolean",
+    )
+    out = extract_feedback_events(qa)
+    events = {(r.element_id, r.element_kind, r.seq, r.feedback_score)
+              for r in out["events"].collect()}
+    assert events == {
+        ("n1", "node", 0, 5), ("n2", "node", 0, 5),
+        ("e1", "edge", 0, 5), ("e1", "edge", 4, 1),
+    }
+    flags = {r.seq: r.weights_applied for r in out["applied"].collect()}
+    assert flags == {0: True, 1: True, 2: False, 3: False, 4: True}
+    # replay over the marked frame yields zero events (exactly-once)
+    assert extract_feedback_events(out["applied"])["events"].count() == 0
+
+    # the events feed the existing fold + merge unchanged (the full loop)
+    edges = spark.createDataFrame(
+        [("e1", 0.5), ("e2", 0.5)], "edge_object_id string, feedback_weight double"
+    )
+    updates = feedback_weight_updates(
+        out["events"].where(F.col("element_kind") == "edge")
+    )
+    w = {r.edge_object_id: r.feedback_weight
+         for r in apply_feedback_to_edges(edges, updates).collect()}
+    # seq 0 score 5 then seq 4 score 1: 0.5→0.55→0.495
+    assert w["e1"] == 0.495 and w["e2"] == 0.5
