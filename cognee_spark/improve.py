@@ -74,6 +74,20 @@ def improve(
         return df.where(F.col("session_id").isin(*session_ids))
 
     # --- stage 1: feedback weights (improve.py stage 1) ---------------------
+    # the reference derives events from the sessions themselves
+    # (extract_feedback_qas over session_ids); when the sessions frame
+    # carries used-element ids, do the same — an explicit feedback frame
+    # overrides
+    applied_sessions = None
+    if feedback is None and sessions is not None and \
+            "used_node_ids" in sessions.columns:
+        from cognee_spark.operators.feedback import extract_feedback_events
+
+        extracted = extract_feedback_events(_scope(sessions))
+        feedback = extracted["events"].where(
+            F.col("element_kind") == "edge"
+        )
+        applied_sessions = extracted["applied"]
     if feedback is not None and "edges" in tables:
         kwargs = {} if feedback_alpha is None else {"alpha": feedback_alpha}
         updates = feedback_weight_updates(
@@ -87,6 +101,9 @@ def improve(
             "status": "completed",
             "edges": apply_feedback_to_edges(tables["edges"], updates),
         }
+        if applied_sessions is not None:
+            # the caller commits this back — the reference's mark-on-success
+            out["feedback"]["applied_sessions"] = applied_sessions
     else:
         out["feedback"] = {"status": "skipped", "reason": "no feedback frame"}
 

@@ -50,6 +50,26 @@ def _entries(spark):
     )
 
 
+def test_feedback_derived_from_session_used_elements(spark, tmp_path):
+    sessions = spark.createDataFrame(
+        [
+            ("u1", "s1", 0, "q?", "a.", 5, ["n1"], ["e1"], False),
+            ("u1", "s1", 1, "q2?", "a2.", None, None, None, False),
+        ],
+        "user_id string, session_id string, seq long, question string, "
+        "answer string, feedback_score int, used_node_ids array<string>, "
+        "used_edge_ids array<string>, weights_applied boolean",
+    )
+    out = improve(spark, str(tmp_path), _tables(spark), sessions=sessions)
+    assert out["feedback"]["status"] == "completed"
+    w = {r.edge_object_id: r.feedback_weight
+         for r in out["feedback"]["edges"].collect()}
+    assert w["e1"] == 0.55 and w["e2"] == 0.5  # score 5: 0.5 + 0.1*(1-0.5)
+    flags = {r.seq: r.weights_applied
+             for r in out["feedback"]["applied_sessions"].collect()}
+    assert flags == {0: True, 1: False}
+
+
 def test_without_sessions_only_stage3_runs(spark, tmp_path):
     out = improve(spark, str(tmp_path), _tables(spark))
     assert out["feedback"]["status"] == "skipped"
