@@ -79,10 +79,13 @@ def improve(
     # carries used-element ids, do the same — an explicit feedback frame
     # overrides
     applied_sessions = None
-    if feedback is None and sessions is not None and \
-            "used_node_ids" in sessions.columns:
+    if feedback is not None:
+        feedback = _scope(feedback)  # explicit frames carry session_id
+    elif sessions is not None and "used_node_ids" in sessions.columns:
         from cognee_spark.operators.feedback import extract_feedback_events
 
+        # derived events are session-scoped BEFORE extraction (the events
+        # frame itself has no session_id column)
         extracted = extract_feedback_events(_scope(sessions))
         feedback = extracted["events"].where(
             F.col("element_kind") == "edge"
@@ -91,7 +94,7 @@ def improve(
     if feedback is not None and "edges" in tables:
         kwargs = {} if feedback_alpha is None else {"alpha": feedback_alpha}
         updates = feedback_weight_updates(
-            _scope(feedback),
+            feedback,
             current=tables["edges"].select(
                 F.col("edge_object_id").alias("element_id"), "feedback_weight"
             ),

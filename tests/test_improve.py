@@ -60,7 +60,11 @@ def test_feedback_derived_from_session_used_elements(spark, tmp_path):
         "answer string, feedback_score int, used_node_ids array<string>, "
         "used_edge_ids array<string>, weights_applied boolean",
     )
-    out = improve(spark, str(tmp_path), _tables(spark), sessions=sessions)
+    # session_ids scoping composes with the derived-events path
+    out = improve(
+        spark, str(tmp_path), _tables(spark),
+        sessions=sessions, session_ids=["s1"],
+    )
     assert out["feedback"]["status"] == "completed"
     w = {r.edge_object_id: r.feedback_weight
          for r in out["feedback"]["edges"].collect()}
