@@ -70,13 +70,37 @@ class Cognee:
                 ),
             )
         n = rows.count()
-        rows.write.mode("append").parquet(self._staging)
+        # each add is one staging batch; corpus() resolves re-adds of the
+        # same (repo, path) to the LATEST batch deterministically — a plain
+        # dropDuplicates would keep whichever row a partition scan surfaced
+        # first, silently serving stale content
+        rows.withColumn("_batch", F.lit(self._next_batch())).write.mode(
+            "append"
+        ).parquet(self._staging)
         return n
 
+    def _next_batch(self) -> int:
+        try:
+            staged = self.spark.read.schema(
+                CORPUS_SCHEMA + ", _batch long"
+            ).parquet(self._staging)
+            return int(staged.agg(F.max("_batch")).first()[0] or 0) + 1
+        except Exception:
+            return 1
+
     def corpus(self) -> DataFrame:
-        """Everything added so far, content-hash-deduplicated."""
-        docs = self.spark.read.schema(CORPUS_SCHEMA).parquet(self._staging)
-        return docs.dropDuplicates(["repo", "path"])
+        """Everything added so far; re-adds resolve last-batch-wins."""
+        from pyspark.sql.window import Window
+
+        docs = self.spark.read.schema(CORPUS_SCHEMA + ", _batch long").parquet(
+            self._staging
+        )
+        w = Window.partitionBy("repo", "path").orderBy(F.desc("_batch"))
+        return (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("repo", "path", "commit", "lang", "content")
+        )
 
     # --- construction (api/v1/cognify) ---------------------------------------
 
@@ -84,16 +108,14 @@ class Cognee:
         """Build/refresh the knowledge graph over everything added —
         ``cognee.cognify``. Content-derived signature: an unchanged corpus
         resumes committed stages (the reference's pipeline-cache rule)."""
-        from cognee_spark.pipeline import run_pipeline
+        from cognee_spark.pipeline import content_signature, run_pipeline
 
         corpus = self.corpus()
-        fp = (
-            corpus.select(F.xxhash64(*corpus.columns).alias("h"))
-            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("s"))
-            .first()
-        )
+        # the same content-keyed signature update_data uses, so a cognify
+        # after an update of the identical corpus resumes instead of
+        # rebuilding byte-identical tables
         out = run_pipeline(
-            self.spark, corpus, self.root, f"cognify:{fp.n}:{fp.s}",
+            self.spark, corpus, self.root, content_signature(corpus),
             compute_metrics=False, **pipeline_kwargs,
         )
         self.tables = out["tables"]

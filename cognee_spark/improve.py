@@ -85,11 +85,13 @@ def improve(
         from cognee_spark.operators.feedback import extract_feedback_events
 
         # derived events are session-scoped BEFORE extraction (the events
-        # frame itself has no session_id column)
-        extracted = extract_feedback_events(_scope(sessions))
-        feedback = extracted["events"].where(
-            F.col("element_kind") == "edge"
-        )
+        # frame itself has no session_id column); only edge weights exist
+        # in the tables dict, so extraction runs in edge-only mode — an
+        # entry naming only node elements stays UNMARKED and eligible for
+        # a pass that can apply node weights, instead of being consumed
+        # with no weight ever changing
+        extracted = extract_feedback_events(_scope(sessions), kinds=("edge",))
+        feedback = extracted["events"]
         applied_sessions = extracted["applied"]
     if feedback is not None and "edges" in tables:
         kwargs = {} if feedback_alpha is None else {"alpha": feedback_alpha}

@@ -133,6 +133,7 @@ def extract_feedback_events(
     node_col: str = "used_node_ids",
     edge_col: str = "used_edge_ids",
     applied_col: str = "weights_applied",
+    kinds: tuple[str, ...] = ("node", "edge"),
 ) -> dict[str, DataFrame]:
     """Session QA entries → per-element feedback events — the extraction
     half of the reference's feedback pipeline (tasks/memify/
@@ -147,14 +148,22 @@ def extract_feedback_events(
     ``seq`` is the caller's global event order (the fold in
     :func:`feedback_weight_updates` orders per element by it).
 
+    ``kinds`` restricts which element families the caller will actually
+    APPLY ("edge",) when only an edge-weight table exists): excluded
+    families neither fan out NOR count toward eligibility, so an entry
+    naming only excluded elements stays UNMARKED and remains eligible for
+    a later pass that can apply it — marking it now would consume the
+    feedback forever without any weight changing.
+
     Returns {"events": (element_id, element_kind, seq, feedback_score),
     "applied": the input with <applied_col> set true on processed rows} —
     committing ``applied`` back is the reference's mark-on-full-success
     step, making a replayed extraction yield zero events (exactly-once).
     """
     score = F.col("feedback_score")
-    nodes = F.coalesce(F.col(node_col), F.array().cast("array<string>"))
-    edges = F.coalesce(F.col(edge_col), F.array().cast("array<string>"))
+    empty = F.array().cast("array<string>")
+    nodes = F.coalesce(F.col(node_col), empty) if "node" in kinds else empty
+    edges = F.coalesce(F.col(edge_col), empty) if "edge" in kinds else empty
     has_elements = (F.size(nodes) > 0) | (F.size(edges) > 0)
     eligible = (
         score.isNotNull()

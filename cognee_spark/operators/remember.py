@@ -80,18 +80,32 @@ def route_memory_entries(entries: DataFrame) -> dict[str, DataFrame]:
     - ``skill_runs``  → graph-backed run records with the reference's
       unscored default and deterministic node ids;
     - ``rejected``    → rows the reference's validators would refuse,
-      with a ``reason``.
+      with a ``reason`` — including rows whose ``entry_type`` is an
+      UNKNOWN non-NULL string (the reference's dispatch raises on those;
+      dropping them silently would lose a whole mistyped batch), and
+      qa/feedback rows with an out-of-range ``feedback_score`` (the
+      pydantic 1..5 validator, entries.py:40-44).
     """
     t = F.coalesce(F.col("entry_type"), F.lit("untyped"))
+    known = ("qa", "trace", "feedback", "skill_run", "untyped")
 
-    qa_typed = entries.where(t == "qa").select(
+    # the pydantic validators' score rule (entries.py:40-44): a non-NULL
+    # feedback_score outside 1..5 is refused per entry
+    qa_score = F.col("_e.feedback_score")
+    qa_score_bad = qa_score.isNotNull() & ((qa_score < 1) | (qa_score > 5))
+    qa_parsed = entries.where(t == "qa").select(
         "user_id", "session_id", "seq",
         F.from_json("payload", _QA_SCHEMA).alias("_e"),
-    ).select(
+    )
+    qa_typed = qa_parsed.where(~qa_score_bad).select(
         "user_id", "session_id", "seq",
         F.coalesce(F.col("_e.question"), F.lit("")).alias("question"),
         F.coalesce(F.col("_e.answer"), F.lit("")).alias("answer"),
         F.coalesce(F.col("_e.context"), F.lit("")).alias("context"),
+    )
+    qa_rejected = qa_parsed.where(qa_score_bad).select(
+        "user_id", "session_id", "seq",
+        F.lit("feedback_score must be in range [1, 5]").alias("reason"),
     )
     raw_text = F.coalesce(F.col("payload"), F.lit(""))
     untyped = entries.where(t == "untyped").select(
@@ -122,14 +136,23 @@ def route_memory_entries(entries: DataFrame) -> dict[str, DataFrame]:
         F.coalesce(F.col("_e.error_message"), F.lit("")).alias("error_message"),
     )
 
-    feedback = entries.where(t == "feedback").select(
+    fb_parsed = entries.where(t == "feedback").select(
         "user_id", "session_id", "seq",
         F.from_json("payload", _FEEDBACK_SCHEMA).alias("_e"),
-    ).select(
+    )
+    fb_score = F.col("_e.feedback_score")
+    fb_bad_score = fb_score.isNotNull() & ((fb_score < 1) | (fb_score > 5))
+    fb_missing_qa = F.coalesce(F.col("_e.qa_id"), F.lit("")) == ""
+    feedback = fb_parsed.where(~fb_bad_score & ~fb_missing_qa).select(
         "user_id", "session_id", "seq",
         F.col("_e.qa_id").alias("qa_id"),
         F.col("_e.feedback_text").alias("feedback_text"),
         F.col("_e.feedback_score").alias("feedback_score"),
+    )
+    fb_rejected = fb_parsed.where(fb_bad_score | fb_missing_qa).select(
+        "user_id", "session_id", "seq",
+        F.when(fb_bad_score, "feedback_score must be in range [1, 5]")
+        .otherwise("qa_id is required").alias("reason"),
     )
 
     runs_raw = entries.where(t == "skill_run").select(
@@ -146,12 +169,24 @@ def route_memory_entries(entries: DataFrame) -> dict[str, DataFrame]:
     )
     missing_skill = F.coalesce(F.col("selected_skill_id"), F.lit("")) == ""
     bad = score_bad | feedback_bad | ms_bad | missing_skill
-    rejected = runs_raw.where(bad).select(
+    run_rejected = runs_raw.where(bad).select(
         "user_id", "session_id", "seq",
         F.when(score_bad, "success_score must be in range [0.0, 1.0]")
         .when(feedback_bad, "feedback must be in range [-1.0, 1.0]")
         .when(ms_bad, "timestamp and latency fields must be non-negative")
         .otherwise("selected_skill_id is required").alias("reason"),
+    )
+    # the reference's dispatch raises on an unknown entry type
+    # (remember.py:43-80); a distributed batch reports instead of dying —
+    # but it must not silently drop the rows either
+    unknown = entries.where(~t.isin(*known)).select(
+        "user_id", "session_id", "seq",
+        F.concat(F.lit("unknown entry_type '"), t, F.lit("'")).alias("reason"),
+    )
+    rejected = (
+        run_rejected.unionByName(qa_rejected)
+        .unionByName(fb_rejected)
+        .unionByName(unknown)
     )
     skill_runs = runs_raw.where(~bad).select(
         id_for_col("SkillRun", F.col("run_id")).alias("skill_run_id"),
@@ -219,21 +254,11 @@ def persist_skill_runs(
     (source_node_id, relationship_name, target_node_id, edge_object_id).
     """
     from cognee_spark.functions.ids import edge_object_id_col
+    from cognee_spark.operators.skills import skill_resolution_keys
 
     if not dataset_id:
         raise ValueError("SkillRun persistence requires one explicit dataset.")
-    # resolve_skills.py:19-51 scope: active skills visible in the dataset,
-    # addressable by name (the remember() surface) or id (post-resolution
-    # re-persist). Exploding the two keys keeps resolution one equi-join.
-    scoped = skills.where(
-        F.col("is_active") & F.array_contains("dataset_scope", dataset_id)
-    )
-    keyed = scoped.select(
-        F.explode(F.array("name", "id")).alias("_skill_key"),
-        F.col("id").alias("_skill_id"),
-        F.col("name").alias("_skill_name"),
-        F.col("description").alias("_skill_description"),
-    ).dropDuplicates(["_skill_key"])
+    keyed = skill_resolution_keys(skills, dataset_id)
     resolved = runs.join(
         keyed, runs["selected_skill_id"] == keyed["_skill_key"], "left"
     ).drop("_skill_key")
@@ -253,7 +278,16 @@ def persist_skill_runs(
         ).otherwise(F.array(F.col("_skill_id"))),
     )
 
-    node_set_id = id_for_col("NodeSet", F.lit(node_set_name))
+    # each run's own node_set tag (skill_runs.py:128-130 builds the NodeSet
+    # from entry.node_set); the parameter is the fallback for frames
+    # without the column
+    if "node_set" in ok.columns:
+        ok = ok.withColumn(
+            "_node_set", F.coalesce(F.col("node_set"), F.lit(node_set_name))
+        )
+    else:
+        ok = ok.withColumn("_node_set", F.lit(node_set_name))
+    node_set_id = id_for_col("NodeSet", F.col("_node_set"))
     run_nodes = ok.select(
         F.col("skill_run_id").alias("node_id"),
         F.lit("SkillRun").alias("kind"),
@@ -300,9 +334,9 @@ def persist_skill_runs(
     set_nodes = ok.select(
         node_set_id.alias("node_id"),
         F.lit("NodeSet").alias("kind"),
-        F.lit(node_set_name).alias("name"),
+        F.col("_node_set").alias("name"),
         F.lit("").alias("text"),
-    ).limit(1)
+    ).dropDuplicates(["node_id"])
     skill_nodes = ok.select(
         F.col("_skill_id").alias("node_id"),
         F.lit("Skill").alias("kind"),

@@ -75,16 +75,17 @@ def render_improvement_contexts(
     dataset_scope); resolution matches ``selected_skill_id`` on name or id
     (the persist_skill_runs rule). Output: (skill_id, skill_name,
     old_procedure, runs_used, context)."""
-    scoped = skills.where(
-        F.col("is_active") & F.array_contains("dataset_scope", dataset_id)
+    from cognee_spark.operators.skills import skill_resolution_keys
+
+    keyed = skill_resolution_keys(
+        skills, dataset_id, cols=("description", "procedure")
+    ).select(
+        "_skill_key",
+        F.col("_skill_id").alias("skill_id"),
+        F.col("_skill_name").alias("skill_name"),
+        F.col("_skill_description").alias("_description"),
+        F.col("_skill_procedure").alias("old_procedure"),
     )
-    keyed = scoped.select(
-        F.explode(F.array("name", "id")).alias("_skill_key"),
-        F.col("id").alias("skill_id"),
-        F.col("name").alias("skill_name"),
-        F.col("description").alias("_description"),
-        F.col("procedure").alias("old_procedure"),
-    ).dropDuplicates(["_skill_key"])
     joined = failures.join(
         keyed, failures["selected_skill_id"] == keyed["_skill_key"]
     )
@@ -149,17 +150,22 @@ def propose_skill_improvements(
             rows = {"skill_id": [], "proposed_procedure": [],
                     "rationale": [], "confidence": []}
             for sid, ctx in zip(pdf["skill_id"], pdf["context"]):
+                # the WHOLE draft parse is fail-open: a malformed field
+                # (e.g. confidence: "high") must drop only this skill, not
+                # kill the task after other fields were appended
                 try:
                     draft = json.loads(llm("improve_skill", ctx))
                     proposed = str(draft.get("proposed_procedure", "")).strip()
                     if not proposed:
                         continue
+                    rationale = str(draft.get("rationale", ""))
+                    confidence = float(draft.get("confidence") or 0.0)
                 except Exception:
                     continue
                 rows["skill_id"].append(sid)
                 rows["proposed_procedure"].append(proposed)
-                rows["rationale"].append(str(draft.get("rationale", "")))
-                rows["confidence"].append(float(draft.get("confidence", 0.0)))
+                rows["rationale"].append(rationale)
+                rows["confidence"].append(confidence)
             yield pd.DataFrame(rows, dtype=object)
 
     drafts = contexts.select("skill_id", "context").mapInPandas(

@@ -198,6 +198,46 @@ def scope_skills(
     ).withColumn("node_set_id", id_for_col("NodeSet", F.lit(node_set)))
 
 
+def skill_resolution_keys(
+    skills: DataFrame, dataset_id: str, cols: tuple[str, ...] = ("description",)
+) -> DataFrame:
+    """Dataset-scoped lookup frame for resolving a ``selected_skill_id``
+    that may be a skill NAME (the remember() surface) or a skill ID
+    (post-resolution re-persist) — the two things the reference's
+    ``resolve_skills`` round-trips. One row per resolution key:
+    (_skill_key, _skill_id, _skill_name, _skill_<col>...).
+
+    Key collisions (skill A's name equals skill B's id, or two active
+    skills sharing a name in one dataset) resolve DETERMINISTICALLY:
+    id outranks name, then lowest skill id wins — so replayed batches
+    resolve to the same skill and uuid5 node ids stay stable."""
+    from pyspark.sql.window import Window
+
+    if not dataset_id:
+        raise ValueError("Skill resolution requires one explicit dataset.")
+    scoped = skills.where(
+        F.col("is_active") & F.array_contains("dataset_scope", dataset_id)
+    )
+    picked = [F.col(c).alias(f"_skill_{c}") for c in cols]
+    by_id = scoped.select(
+        F.col("id").alias("_skill_key"), F.lit(0).alias("_prio"),
+        F.col("id").alias("_skill_id"), F.col("name").alias("_skill_name"),
+        *picked,
+    )
+    by_name = scoped.select(
+        F.col("name").alias("_skill_key"), F.lit(1).alias("_prio"),
+        F.col("id").alias("_skill_id"), F.col("name").alias("_skill_name"),
+        *picked,
+    )
+    w = Window.partitionBy("_skill_key").orderBy("_prio", "_skill_id")
+    return (
+        by_id.unionByName(by_name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+
+
 def resolve_skills(
     skills: DataFrame, names: list[str], dataset_id: str
 ) -> DataFrame:

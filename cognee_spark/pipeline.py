@@ -440,6 +440,25 @@ def run_custom_pipeline(
     return {"tables": tables, "result": current, "metrics": store.checkpoints()}
 
 
+def content_signature(df: DataFrame, prefix: str = "content") -> str:
+    """Order-free, MULTIPLICITY-SENSITIVE content fingerprint of a frame —
+    the one signature every content-keyed stage should derive from. A plain
+    xor of per-row hashes cancels duplicate rows pairwise ({A,A} and {B,B}
+    both collapse to 0), so the xor runs over hash(row_hash, per-row count)
+    after a groupBy, the _ontology_fingerprint rule. The prefix is part of
+    the identity ONLY when two verbs must not share commits; verbs that
+    re-derive the same tables from the same corpus (cognify, update) share
+    the default so an unchanged corpus resumes across them."""
+    agg = (
+        df.select(F.xxhash64(*df.columns).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("n"), F.expr("bit_xor(xxhash64(h, c))").alias("x"))
+        .first()
+    )
+    return f"{prefix}:{agg.n or 0}:{agg.x}"
+
+
 def update_data(
     spark: SparkSession,
     store_root: str,
@@ -467,13 +486,8 @@ def update_data(
     keys = new_rows.select(*id_cols).distinct()
     replaced = repos.join(keys, list(id_cols), "left_semi").count()
     updated = repos.join(keys, list(id_cols), "left_anti").unionByName(new_rows)
-    fp = (
-        updated.select(F.xxhash64(*updated.columns).alias("h"))
-        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("s"))
-        .first()
-    )
     out = run_pipeline(
-        spark, updated, store_root, f"update:{fp.n}:{fp.s}", **pipeline_kwargs
+        spark, updated, store_root, content_signature(updated), **pipeline_kwargs
     )
     out["corpus"] = updated
     out["replaced"] = replaced

@@ -180,3 +180,22 @@ def test_extract_feedback_events_eligibility_and_fanout(spark):
          for r in apply_feedback_to_edges(edges, updates).collect()}
     # seq 0 score 5 then seq 4 score 1: 0.5→0.55→0.495
     assert w["e1"] == 0.495 and w["e2"] == 0.5
+
+
+def test_extract_feedback_events_edge_only_mode_leaves_node_rows_eligible(spark):
+    from cognee_spark.operators.feedback import extract_feedback_events
+
+    qa = spark.createDataFrame(
+        [
+            ("u1", "s1", 0, 5, ["n1"], None, False),   # node-only
+            ("u1", "s1", 1, 5, ["n1"], ["e1"], False),  # both
+        ],
+        "user_id string, session_id string, seq long, feedback_score int, "
+        "used_node_ids array<string>, used_edge_ids array<string>, "
+        "weights_applied boolean",
+    )
+    out = extract_feedback_events(qa, kinds=("edge",))
+    assert {(r.element_id, r.seq) for r in out["events"].collect()} == {("e1", 1)}
+    flags = {r.seq: r.weights_applied for r in out["applied"].collect()}
+    # the node-only row stays UNMARKED — its feedback was never applied
+    assert flags == {0: False, 1: True}

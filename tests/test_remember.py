@@ -172,3 +172,55 @@ def test_routing_and_persist_plans_are_pure_codegen(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_unknown_types_and_bad_scores_land_in_rejected(spark):
+    rows = [
+        ("QAEntry", "u1", "s1", 0, json.dumps({"question": "q"})),  # unknown type
+        ("qa", "u1", "s1", 1, json.dumps({"question": "q", "feedback_score": 9})),
+        ("qa", "u1", "s1", 2, json.dumps({"question": "q", "feedback_score": 5})),
+        ("feedback", "u1", "s1", 3, json.dumps({"qa_id": "x", "feedback_score": 0})),
+        ("feedback", "u1", "s1", 4, json.dumps({"feedback_score": 3})),  # no qa_id
+        ("feedback", "u1", "s1", 5, json.dumps({"qa_id": "x", "feedback_score": 3})),
+    ]
+    out = R.route_memory_entries(_entries(spark, rows))
+    reasons = {r.seq: r.reason for r in out["rejected"].collect()}
+    assert "unknown entry_type 'QAEntry'" == reasons[0]
+    assert "range [1, 5]" in reasons[1]
+    assert "range [1, 5]" in reasons[3]
+    assert "qa_id is required" == reasons[4]
+    assert set(reasons) == {0, 1, 3, 4}
+    assert {r.seq for r in out["qa"].collect()} == {2}
+    assert {r.seq for r in out["feedback"].collect()} == {5}
+
+
+def test_persist_uses_per_row_node_set(spark):
+    skills = _skills(spark, [("sid-1", "sk1", "d", True, ["ds1"])])
+    rows = [
+        ("skill_run", "u1", "s1", 0, json.dumps(
+            {"run_id": "r0", "selected_skill_id": "sk1", "node_set": "proj_x"})),
+        ("skill_run", "u1", "s1", 1, json.dumps(
+            {"run_id": "r1", "selected_skill_id": "sk1"})),  # default set
+    ]
+    runs = R.route_memory_entries(_entries(spark, rows))["skill_runs"]
+    out = R.persist_skill_runs(runs, skills, "ds1")
+    sets = {r.name for r in out["nodes"].where("kind = 'NodeSet'").collect()}
+    assert sets == {"proj_x", "skills"}
+    assert out["edges"].where("relationship_name = 'belongs_to_set'").count() == 2
+
+
+def test_resolution_precedence_id_over_name(spark):
+    # skill B's NAME collides with skill A's ID: the key must resolve to A
+    skills = _skills(spark, [
+        ("sid-1", "alpha", "a", True, ["ds1"]),
+        ("sid-2", "sid-1", "b", True, ["ds1"]),
+    ])
+    rows = [("skill_run", "u1", "s1", 0, json.dumps(
+        {"run_id": "r0", "selected_skill_id": "sid-1"}))]
+    runs = R.route_memory_entries(_entries(spark, rows))["skill_runs"]
+    out = R.persist_skill_runs(runs, skills, "ds1")
+    selected = out["edges"].where("relationship_name = 'selected_skill'").first()
+    skill_node = out["nodes"].where(
+        F.col("node_id") == selected.target_node_id
+    ).first()
+    assert skill_node.name == "alpha"  # id outranks name
