@@ -1543,9 +1543,10 @@ keyed AS (
 ),
 priced AS (SELECT *, {_pricing_case_sql()} AS cost_usd FROM keyed)
 SELECT session_id, user_id,
-       sum(tokens_in) AS tokens_in, sum(tokens_out) AS tokens_out,
+       CAST(sum(tokens_in) AS BIGINT) AS tokens_in,
+       CAST(sum(tokens_out) AS BIGINT) AS tokens_out,
        round(sum(cost_usd), 9) AS cost_usd,
-       sum(CASE WHEN errored THEN 1 ELSE 0 END) AS error_count,
+       CAST(sum(CASE WHEN errored THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
        arg_max(model, ts) AS last_model,
        count(*) AS n_calls,
        min(ts) AS started_at, max(ts) AS last_activity_at
@@ -2381,7 +2382,7 @@ readable AS (
 )
 SELECT source AS dataset_id,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE source IN (SELECT dataset_id FROM readable)
 GROUP BY source

@@ -79,9 +79,14 @@ def improve(
     # carries used-element ids, do the same — an explicit feedback frame
     # overrides
     applied_sessions = None
+    # edge-only extraction reads exactly these columns (only edge weights
+    # exist in the tables dict) — gating on them, not on used_node_ids,
+    # so a node-only sessions frame is skipped instead of crashing and an
+    # edge-only frame is extracted instead of silently dropped
+    _edge_feedback_cols = {"used_edge_ids", "weights_applied", "feedback_score"}
     if feedback is not None:
         feedback = _scope(feedback)  # explicit frames carry session_id
-    elif sessions is not None and "used_node_ids" in sessions.columns:
+    elif sessions is not None and _edge_feedback_cols <= set(sessions.columns):
         from cognee_spark.operators.feedback import extract_feedback_events
 
         # derived events are session-scoped BEFORE extraction (the events
@@ -125,9 +130,12 @@ def improve(
 
     # --- stage 2c: distillation (improve.py stage 2c) ------------------------
     if sessions is not None and entries is not None:
+        # curator_batches orders blocks by the string `time`; zero-pad the
+        # numeric seq so sessions with >=10 turns keep chronological order
+        # ("02" < "10", unlike lexicographic "10" < "2")
         qa = _scope(sessions).select(
             "session_id",
-            F.col("seq").cast("string").alias("time"),
+            F.lpad(F.col("seq").cast("string"), 12, "0").alias("time"),
             "question", "answer",
         )
         out["distillation"] = distill_sessions(

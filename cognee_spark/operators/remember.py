@@ -39,7 +39,12 @@ UNSCORED_SKILL_RUN_SCORE = 0.5  # engine/models/SkillRun.py:7
 
 _QA_SCHEMA = (
     "question string, answer string, context string, "
-    "feedback_text string, feedback_score int"
+    "feedback_text string, feedback_score int, "
+    # QAEntry.used_graph_element_ids (memory/entries.py:38) — the
+    # {"node_ids": [...], "edge_ids": [...]} provenance dict that
+    # SessionManager.add_qa persists and extract_feedback_qas reads
+    "used_graph_element_ids struct<node_ids: array<string>, "
+    "edge_ids: array<string>>"
 )
 _TRACE_SCHEMA = (
     "origin_function string, status string, method_return_value string, "
@@ -70,8 +75,10 @@ def route_memory_entries(entries: DataFrame) -> dict[str, DataFrame]:
     Returns ``{"qa", "traces", "feedback", "skill_runs", "rejected"}``:
 
     - ``qa``          → (user_id, session_id, seq, question, answer,
-      context, entry_id) rows in the shape
-      :func:`~cognee_spark.operators.sessions.session_windows` folds;
+      context, feedback_text, feedback_score, used_node_ids,
+      used_edge_ids, weights_applied, entry_id) rows in the shape
+      :func:`~cognee_spark.operators.sessions.session_windows` folds and
+      :func:`~cognee_spark.improve.improve`'s feedback extraction reads;
       untyped rows (NULL entry_type) become question-less turns, with
       empty and placeholder payloads skipped;
     - ``traces``      → agent-trace step rows in the
@@ -102,6 +109,15 @@ def route_memory_entries(entries: DataFrame) -> dict[str, DataFrame]:
         F.coalesce(F.col("_e.question"), F.lit("")).alias("question"),
         F.coalesce(F.col("_e.answer"), F.lit("")).alias("answer"),
         F.coalesce(F.col("_e.context"), F.lit("")).alias("context"),
+        # inline feedback + provenance ride along so improve()'s
+        # feedback-weight extraction can consume remembered entries
+        # (add_qa persists them; dropping them here severed the
+        # remember→improve loop)
+        F.col("_e.feedback_text").alias("feedback_text"),
+        F.col("_e.feedback_score").alias("feedback_score"),
+        F.col("_e.used_graph_element_ids.node_ids").alias("used_node_ids"),
+        F.col("_e.used_graph_element_ids.edge_ids").alias("used_edge_ids"),
+        F.lit(False).alias("weights_applied"),
     )
     qa_rejected = qa_parsed.where(qa_score_bad).select(
         "user_id", "session_id", "seq",
@@ -113,6 +129,11 @@ def route_memory_entries(entries: DataFrame) -> dict[str, DataFrame]:
         F.lit("").alias("question"),
         F.trim(raw_text).alias("answer"),
         F.lit("").alias("context"),
+        F.lit(None).cast("string").alias("feedback_text"),
+        F.lit(None).cast("int").alias("feedback_score"),
+        F.lit(None).cast("array<string>").alias("used_node_ids"),
+        F.lit(None).cast("array<string>").alias("used_edge_ids"),
+        F.lit(False).alias("weights_applied"),
     )
     skip = F.col("answer") == ""
     for p in PLACEHOLDER_PREFIXES:
@@ -383,8 +404,9 @@ def persist_skill_runs(
 def apply_feedback(qa: DataFrame, feedback: DataFrame) -> DataFrame:
     """Fold feedback updates onto their QA rows — ``add_feedback``'s
     update-not-insert semantics (entries.py:63-69): last update per qa_id
-    (by the feedback row's seq) wins; QA rows without feedback pass through
-    with NULL feedback columns."""
+    (by the feedback row's seq) wins; a later FeedbackEntry OVERRIDES any
+    inline feedback the QA row was remembered with; QA rows without either
+    pass through with NULL feedback columns."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("qa_id").orderBy(F.desc("seq"))
@@ -392,8 +414,20 @@ def apply_feedback(qa: DataFrame, feedback: DataFrame) -> DataFrame:
         feedback.where(F.col("qa_id").isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select("qa_id", "feedback_text", "feedback_score")
+        .select(
+            F.col("qa_id").alias("entry_id"),
+            F.col("feedback_text").alias("_fb_text"),
+            F.col("feedback_score").alias("_fb_score"),
+        )
     )
-    return qa.join(
-        latest.withColumnRenamed("qa_id", "entry_id"), "entry_id", "left"
-    ).select(*qa.columns, "feedback_text", "feedback_score")
+    has_inline = "feedback_score" in qa.columns
+    joined = qa.join(latest, "entry_id", "left")
+    passthrough = [c for c in qa.columns
+                   if c not in ("feedback_text", "feedback_score")]
+    inline_text = F.col("feedback_text") if has_inline else F.lit(None).cast("string")
+    inline_score = F.col("feedback_score") if has_inline else F.lit(None).cast("int")
+    return joined.select(
+        *passthrough,
+        F.coalesce(F.col("_fb_text"), inline_text).alias("feedback_text"),
+        F.coalesce(F.col("_fb_score"), inline_score).alias("feedback_score"),
+    )

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +54,10 @@ DEFAULT_K = 8
 # reference caps its embed batches — beyond this, sample or pre-cluster
 DEFAULT_MAX_LEARNINGS = 100_000
 
+# Java's default \s — ASCII whitespace only (no NBSP etc.), matching the
+# codegen regexp_replace in build_truth_subspace
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
 
 def truth_session_node_set(session_id: str) -> str:
     """Per-session learning node set name (constants.py:6-7)."""
@@ -63,7 +68,16 @@ def truth_session_node_set(session_id: str) -> str:
 
 
 def normalize_statement(statement: str) -> str:
-    return " ".join(str(statement).casefold().split())
+    """Python twin of build_truth_subspace's codegen normalization —
+    ``trim(regexp_replace(lower(statement), '\\s+', ' '))``. Java's default
+    ``\\s`` is ASCII-only ([ \\t\\n\\x0b\\f\\r]) and ``lower`` is
+    one-to-one (ß stays ß, unlike casefold's ss), so the twin uses the
+    same explicit class + ``str.lower`` to keep learning_ids identical
+    across the two paths (the module's cross-path id contract)."""
+    collapsed = _ASCII_WS.sub(" ", str(statement).lower())
+    # after the collapse every Java-\s char is a plain space, so F.trim
+    # (space-only) == strip(" ")
+    return collapsed.strip(" ")
 
 
 def learning_id(statement: str) -> str:

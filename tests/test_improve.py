@@ -124,3 +124,60 @@ def test_full_session_bridge(spark, tmp_path):
     assert out["truth"]["status"] == "completed"
     coords = out["truth"]["coords"]
     assert coords.count() == 2 and "truth_alignment" in coords.columns
+
+
+def test_feedback_gate_matches_edge_only_extraction_columns(spark, tmp_path):
+    # an edge-only sessions frame (no used_node_ids column at all) must be
+    # extracted, not silently skipped — the gate checks the columns the
+    # kinds=("edge",) extraction actually reads
+    edge_only = spark.createDataFrame(
+        [
+            ("u1", "s1", 0, "q?", "a.", 5, ["e1"], False),
+        ],
+        "user_id string, session_id string, seq long, question string, "
+        "answer string, feedback_score int, used_edge_ids array<string>, "
+        "weights_applied boolean",
+    )
+    out = improve(spark, str(tmp_path / "a"), _tables(spark), sessions=edge_only)
+    assert out["feedback"]["status"] == "completed"
+    w = {r.edge_object_id: r.feedback_weight
+         for r in out["feedback"]["edges"].collect()}
+    assert w["e1"] == 0.55 and w["e2"] == 0.5
+
+    # a node-only frame lacks the edge columns: stage 1 skips cleanly
+    # (no unresolved-column crash), leaving the entry unmarked for a pass
+    # that can apply node weights
+    node_only = spark.createDataFrame(
+        [("u1", "s1", 0, "q?", "a.", 5, ["n1"])],
+        "user_id string, session_id string, seq long, question string, "
+        "answer string, feedback_score int, used_node_ids array<string>",
+    )
+    out2 = improve(spark, str(tmp_path / "b"), _tables(spark), sessions=node_only)
+    assert out2["feedback"]["status"] == "skipped"
+
+
+def test_distillation_time_is_zero_padded_chronological(spark, tmp_path, monkeypatch):
+    # curator_batches orders blocks by the STRING time; the seq-derived key
+    # must sort numerically for sessions with >= 10 turns ("02" < "10")
+    from cognee_spark.operators import distillation as dist
+
+    captured = {}
+
+    def spy(spark_, root, qa, entries, **kw):
+        captured["qa"] = qa
+        return {"status": "no_gated_entries", "lessons": 0,
+                "documents": None, "tables": None}
+
+    monkeypatch.setattr(dist, "distill_sessions", spy)
+    sessions = spark.createDataFrame(
+        [("u1", "s1", s, f"q{s}?", f"a{s}.") for s in (0, 2, 10)],
+        "user_id string, session_id string, seq long, question string, "
+        "answer string",
+    )
+    improve(
+        spark, str(tmp_path), _tables(spark),
+        sessions=sessions, entries=_entries(spark),
+    )
+    rows = captured["qa"].orderBy("time").collect()
+    assert [r.question for r in rows] == ["q0?", "q2?", "q10?"]
+    assert all(len(r.time) == 12 for r in rows)

@@ -224,3 +224,45 @@ def test_resolution_precedence_id_over_name(spark):
         F.col("node_id") == selected.target_node_id
     ).first()
     assert skill_node.name == "alpha"  # id outranks name
+
+
+def test_qa_carries_inline_feedback_and_used_elements(spark):
+    # QAEntry.used_graph_element_ids + inline feedback survive routing so
+    # improve()'s feedback-weight extraction can consume remembered entries
+    payload = json.dumps({
+        "question": "q?", "answer": "a.",
+        "feedback_text": "useful", "feedback_score": 4,
+        "used_graph_element_ids": {"node_ids": ["n1"], "edge_ids": ["e1", "e2"]},
+    })
+    out = R.route_memory_entries(_entries(spark, [("qa", "u1", "s1", 0, payload)]))
+    row = out["qa"].first()
+    assert (row.feedback_text, row.feedback_score) == ("useful", 4)
+    assert row.used_node_ids == ["n1"] and row.used_edge_ids == ["e1", "e2"]
+    assert row.weights_applied is False
+
+    # the routed frame feeds straight into edge-feedback extraction
+    from cognee_spark.operators.feedback import extract_feedback_events
+
+    events = extract_feedback_events(out["qa"], kinds=("edge",))["events"]
+    got = {(r.element_id, r.element_kind, r.feedback_score)
+           for r in events.collect()}
+    assert got == {("e1", "edge", 4), ("e2", "edge", 4)}
+
+
+def test_later_feedback_entry_overrides_inline_feedback(spark):
+    qa_payload = json.dumps({
+        "question": "q?", "answer": "a.",
+        "feedback_text": "inline", "feedback_score": 2,
+    })
+    out = R.route_memory_entries(_entries(spark, [("qa", "u1", "s1", 0, qa_payload)]))
+    qa_id = out["qa"].first().entry_id
+    fb = R.route_memory_entries(_entries(spark, [
+        ("feedback", "u1", "s1", 1,
+         json.dumps({"qa_id": qa_id, "feedback_text": "better", "feedback_score": 5})),
+    ]))["feedback"]
+    folded = R.apply_feedback(out["qa"], fb).first()
+    assert (folded.feedback_text, folded.feedback_score) == ("better", 5)
+    # inline feedback survives when no update targets the row
+    empty_fb = fb.where(F.lit(False))
+    kept = R.apply_feedback(out["qa"], empty_fb).first()
+    assert (kept.feedback_text, kept.feedback_score) == ("inline", 2)

@@ -222,3 +222,26 @@ def test_rrf_truth_neutrality_no_coords_scores_unchanged(spark):
 def test_query_coords_projects_like_nodes():
     slots = extend_slots([], [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], k=8)
     assert query_coords([2.0, 0.0], slots) == pytest.approx([1.0, 0.0])
+
+
+def test_normalize_statement_matches_spark_path_on_non_ascii(spark):
+    # cross-path id contract: python twin and the codegen normalization
+    # must agree on non-ASCII input — 'ß' (lower keeps it, casefold would
+    # not) and NBSP (Java \s does not match it)
+    from pyspark.sql import functions as F
+
+    from cognee_spark.operators.truth import learning_id, normalize_statement
+
+    from cognee_spark.functions.ids import uuid5_col
+
+    stmts = ["Straße  ist\tbreit", "no break here", "  MiXeD   Case  "]
+    df = spark.createDataFrame([(s,) for s in stmts], "statement string")
+    spark_side = df.select(
+        "statement",
+        F.trim(F.regexp_replace(F.lower(F.col("statement")), r"\s+", " ")).alias("norm"),
+    ).withColumn(
+        "lid", uuid5_col(F.concat(F.lit("TruthLearning:"), F.col("norm")))
+    )
+    for row in spark_side.collect():
+        assert normalize_statement(row.statement) == row.norm, row.statement
+        assert learning_id(row.statement) == row.lid, row.statement
