@@ -1057,6 +1057,88 @@ WHERE round(list_dot_product(ea.v, eb.v)
 """
 
 
+def chunk_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 chunk associations end to end (reference cognee/tasks/chunks/
+    create_chunk_associations.py:74-232): LSH-blocked candidate pairs →
+    batched similarity-verdict seam (deterministic token-Jaccard double) →
+    weighted associated_with edges above the threshold. The DuckDB oracle
+    replays candidate blocking, the verdict double's Jaccard, the
+    are_similar + threshold gate, and the edge projection — the full path
+    except the uuid edge id (no sha1 in DuckDB; pinned in
+    tests/test_associations.py instead)."""
+    from cognee_spark.operators.associations import create_chunk_associations
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    out = create_chunk_associations(
+        docs.select(F.col("doc_id").alias("chunk_id"), "text"),
+        emb.select(F.col("vec_id").alias("chunk_id"), "embedding"),
+        similarity_threshold=0.6,
+        candidate_threshold=0.3,
+        dim=64,
+    )
+    return out["edges"].select(
+        "source_node_id", "relationship_name", "target_node_id",
+        "weight", "association_type",
+    )
+
+
+_CHUNK_ASSOC_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planes AS (
+  SELECT p, list((('0x'||substr(md5('hp'||p||'|'||j),1,8))::UBIGINT / 4294967295.0) * 2 - 1
+                 ORDER BY j) AS plane
+  FROM generate_series(0,47) g1(p), generate_series(0,63) g2(j)
+  GROUP BY p
+),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_dot_product(e.v, pl.plane) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM e, planes pl
+),
+banded AS (
+  SELECT vec_id, (p // 8)::VARCHAR || ':' || string_agg(bit, '' ORDER BY p) AS band
+  FROM bits GROUP BY vec_id, p // 8
+),
+cand AS (
+  -- the operator works on STRING chunk ids, so pair orientation is
+  -- lexicographic ('136' < '66'), not numeric
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band
+   AND CAST(x.vec_id AS VARCHAR) < CAST(y.vec_id AS VARCHAR)
+),
+verified AS (
+  SELECT a, b
+  FROM cand JOIN e ea ON cand.a = ea.vec_id JOIN e eb ON cand.b = eb.vec_id
+  WHERE round(list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9) >= 0.3
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS tk
+  FROM documents WHERE length(text) >= 10
+),
+scored AS (
+  SELECT v.a, v.b,
+         round(len(list_filter(ta.tk, x -> list_contains(tb.tk, x)))::DOUBLE
+               / len(list_distinct(list_concat(ta.tk, tb.tk))), 9) AS weight
+  FROM verified v
+  JOIN toks ta ON v.a = ta.doc_id
+  JOIN toks tb ON v.b = tb.doc_id
+)
+SELECT CAST(a AS VARCHAR) AS source_node_id,
+       'associated_with' AS relationship_name,
+       CAST(b AS VARCHAR) AS target_node_id,
+       weight,
+       CASE WHEN weight >= 0.5 THEN 'topical' ELSE 'contextual' END AS association_type
+FROM scored
+WHERE weight > 0 AND weight >= 0.6
+"""
+
+
 # --- cascade extraction (E3) over the synthetic corpus ----------------------------------
 #
 # The driver's documents table is word-salad (no relation statements), so the
@@ -2477,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_code_search": kg_code_search,
         "simhash_signatures": simhash_signatures,
         "embedding_dedup_pairs": embedding_dedup_pairs,
+        "chunk_associations": chunk_associations,
         "chunk_rows": chunk_rows,
         "relational_fk_edges": relational_fk_edges,
         "cascade_triples": cascade_triples,
@@ -2540,6 +2623,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_titles": _TITLES_SQL,
         "simhash_signatures": _SIMHASH_SQL,
         "embedding_dedup_pairs": _EMBED_DEDUP_SQL,
+        "chunk_associations": _CHUNK_ASSOC_SQL,
         "kg_triples": _KG_TRIPLES_SQL,
         "kg_triples_llm_seam": _KG_TRIPLES_SQL,
         "kg_edge_type_histogram": _KG_HISTOGRAM_SQL,
