@@ -1139,6 +1139,132 @@ WHERE weight > 0 AND weight >= 0.6
 """
 
 
+def graphiti_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphiti post-import re-index (reference cognee/tasks/
+    temporal_awareness/index_graphiti_objects.py:12-100) over a
+    deterministic Graphiti-shaped graph synthesized from documents/events:
+    per-field GraphitiNode index collections (only non-null fields index,
+    graphiti_model.py:22) plus one EdgeType point per relationship name.
+    Output is every index point as (collection, text, n)."""
+    from cognee_spark.operators.indexing import reindex_graphiti_objects
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nodes = docs.select(
+        d.cast("string").alias("uuid"),
+        F.when(d % 3 == 0, F.concat(F.lit("doc "), d.cast("string"))).alias("name"),
+        F.when(d % 2 == 0, F.substring("text", 1, 40)).alias("summary"),
+        F.substring("text", 1, 80).alias("content"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").cast("string").alias("source"),
+        (F.col("event_id") % 97).cast("string").alias("target"),
+        F.col("event_type").alias("type"),
+    )
+    out = reindex_graphiti_objects(nodes, edges)
+    return out["index"].groupBy("collection", "text").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+_GRAPHITI_REINDEX_SQL = """
+WITH nodes AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CASE WHEN doc_id % 3 = 0 THEN 'doc ' || CAST(doc_id AS VARCHAR) END AS name,
+         CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 40) END AS summary,
+         substr(text, 1, 80) AS content
+  FROM documents
+),
+points AS (
+  SELECT 'GraphitiNode_name' AS collection, name AS text
+  FROM nodes WHERE name IS NOT NULL
+  UNION ALL
+  SELECT 'GraphitiNode_summary', summary FROM nodes WHERE summary IS NOT NULL
+  UNION ALL
+  SELECT 'GraphitiNode_content', content FROM nodes WHERE content IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT 'EdgeType_relationship_name', event_type FROM events
+)
+SELECT collection, text, CAST(COUNT(*) AS BIGINT) AS n
+FROM points GROUP BY collection, text
+"""
+
+
+# the snapshot the reference's engine.extract_schema() would introspect,
+# hand-declared for the TPC-H-ish testdata (first column is the key by the
+# generator's convention)
+_TPCH_FKS: dict[str, list[tuple[str, str, str]]] = {
+    "region": [],
+    "nation": [("n_regionkey", "region", "r_regionkey")],
+    "customer": [("c_nationkey", "nation", "n_nationkey")],
+    "supplier": [("s_nationkey", "nation", "n_nationkey")],
+    "part": [],
+    "orders": [("o_custkey", "customer", "c_custkey")],
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+}
+
+
+def db_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DB-schema introspection ingest (reference cognee/tasks/schema/
+    ingest_database_schema.py:14-134) over the TPC-H snapshot: SchemaTable
+    rows with metadata-derived row-count estimates plus per-table
+    foreign-key fan-out from the SchemaRelationship frame."""
+    from cognee_spark.sources.relational import ingest_database_schema
+
+    tables = {n: _t(spark, sf_dir, n) for n in _TPCH_FKS}
+    schema = {
+        n: {
+            "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+            "primary_key": df.columns[0],
+            "foreign_keys": [
+                {"column": c, "ref_table": rt, "ref_column": rc}
+                for c, rt, rc in _TPCH_FKS[n]
+            ],
+        }
+        for n, df in tables.items()
+    }
+    out = ingest_database_schema(
+        spark, schema, tables, db_name="tpch", db_provider="spark"
+    )
+    fanout = out["relationships"].groupBy(
+        F.col("source_table").alias("name")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_foreign_keys"))
+    return (
+        out["schema_tables"]
+        .select("name", "primary_key", "row_count_estimate")
+        .join(fanout, "name", "left")
+        .fillna(0, ["n_foreign_keys"])
+    )
+
+
+_DB_SCHEMA_SQL = """
+WITH counts AS (
+  SELECT 'region' AS name, COUNT(*) AS c FROM region UNION ALL
+  SELECT 'nation', COUNT(*) FROM nation UNION ALL
+  SELECT 'customer', COUNT(*) FROM customer UNION ALL
+  SELECT 'supplier', COUNT(*) FROM supplier UNION ALL
+  SELECT 'part', COUNT(*) FROM part UNION ALL
+  SELECT 'orders', COUNT(*) FROM orders UNION ALL
+  SELECT 'lineitem', COUNT(*) FROM lineitem
+),
+meta(name, primary_key, n_foreign_keys) AS (
+  VALUES ('region', 'r_regionkey', 0), ('nation', 'n_nationkey', 1),
+         ('customer', 'c_custkey', 1), ('supplier', 's_suppkey', 1),
+         ('part', 'p_partkey', 0), ('orders', 'o_orderkey', 1),
+         ('lineitem', 'l_orderkey', 3)
+)
+SELECT m.name, m.primary_key,
+       CAST(c.c AS BIGINT) AS row_count_estimate,
+       CAST(m.n_foreign_keys AS BIGINT) AS n_foreign_keys
+FROM meta m JOIN counts c ON m.name = c.name
+"""
+
+
 # --- cascade extraction (E3) over the synthetic corpus ----------------------------------
 #
 # The driver's documents table is word-salad (no relation statements), so the
@@ -2560,6 +2686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": simhash_signatures,
         "embedding_dedup_pairs": embedding_dedup_pairs,
         "chunk_associations": chunk_associations,
+        "graphiti_reindex": graphiti_reindex,
+        "db_schema_tables": db_schema_tables,
         "chunk_rows": chunk_rows,
         "relational_fk_edges": relational_fk_edges,
         "cascade_triples": cascade_triples,
@@ -2624,6 +2752,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _SIMHASH_SQL,
         "embedding_dedup_pairs": _EMBED_DEDUP_SQL,
         "chunk_associations": _CHUNK_ASSOC_SQL,
+        "graphiti_reindex": _GRAPHITI_REINDEX_SQL,
+        "db_schema_tables": _DB_SCHEMA_SQL,
         "kg_triples": _KG_TRIPLES_SQL,
         "kg_triples_llm_seam": _KG_TRIPLES_SQL,
         "kg_edge_type_histogram": _KG_HISTOGRAM_SQL,

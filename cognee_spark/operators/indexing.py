@@ -98,3 +98,84 @@ def build_triplet_index(triples: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame
         .dropDuplicates(["collection", "item_id"])
         .withColumn("embedding", hash_embedding_col(F.col("text"), dim=dim))
     )
+
+
+GRAPHITI_INDEX_FIELDS = ("name", "summary", "content")  # GraphitiNode metadata
+
+
+def reindex_graphiti_objects(
+    nodes: DataFrame, edges: DataFrame, dim: int = DEFAULT_DIM
+) -> dict[str, DataFrame]:
+    """Post-import Graphiti normalize + re-index — the reference's
+    ``index_and_transform_graphiti_nodes_and_edges`` (cognee/tasks/
+    temporal_awareness/index_graphiti_objects.py:12-100), which rewrites a
+    Graphiti-written graph into the engine's conventions (node.id := uuid,
+    edge gets source_node_id/target_node_id/relationship_name := type(r),
+    node.text := coalesce(summary, content)) and then builds vector index
+    points: one GraphitiNode collection per index field (name, summary,
+    content — graphiti_model.py:22) for nodes whose field is non-null, plus
+    an EdgeType point per distinct relationship name with its edge count.
+
+    The reference does this with three whole-graph Cypher UPDATE passes and
+    a driver loop over every node; here each pass is a projection and the
+    EdgeType counter is one groupBy — no graph mutation, no driver
+    iteration, linear scans all the way.
+
+    ``nodes``: (uuid and/or id, name?, summary?, content?); ``edges``:
+    (source, target, and relationship_name or type). Returns
+    {"nodes", "edges", "index", "edge_types"} — ``index`` in the engine's
+    (collection, item_id, text, embedding) shape so it unions straight into
+    the committed index table.
+    """
+    cols = set(nodes.columns)
+    node_id = (
+        F.coalesce(F.col("id"), F.col("uuid")) if {"id", "uuid"} <= cols
+        else F.col("uuid") if "uuid" in cols else F.col("id")
+    )
+
+    def _opt(name: str):
+        return F.col(name) if name in cols else F.lit(None).cast("string")
+
+    norm_nodes = nodes.select(
+        node_id.cast("string").alias("id"),
+        _opt("name").alias("name"),
+        _opt("summary").alias("summary"),
+        _opt("content").alias("content"),
+    ).withColumn("text", F.coalesce("summary", "content"))
+
+    ecols = set(edges.columns)
+    rel = F.col("relationship_name") if "relationship_name" in ecols else F.col("type")
+    norm_edges = edges.select(
+        F.col("source").cast("string").alias("source_node_id"),
+        F.col("target").cast("string").alias("target_node_id"),
+        rel.cast("string").alias("relationship_name"),
+    )
+
+    node_points = None
+    for field in GRAPHITI_INDEX_FIELDS:
+        part = norm_nodes.where(F.col(field).isNotNull()).select(
+            F.lit(f"GraphitiNode_{field}").alias("collection"),
+            F.col("id").alias("item_id"),
+            F.col(field).alias("text"),
+        )
+        node_points = part if node_points is None else node_points.unionByName(part)
+
+    edge_types = norm_edges.groupBy("relationship_name").agg(
+        F.count(F.lit(1)).alias("number_of_edges")
+    )
+    edge_points = edge_types.select(
+        F.lit("EdgeType_relationship_name").alias("collection"),
+        id_for_col("EdgeType", F.col("relationship_name")).alias("item_id"),
+        F.col("relationship_name").alias("text"),
+    )
+    index = (
+        node_points.unionByName(edge_points)
+        .dropDuplicates(["collection", "item_id"])
+        .withColumn("embedding", hash_embedding_col(F.col("text"), dim=dim))
+    )
+    return {
+        "nodes": norm_nodes,
+        "edges": norm_edges,
+        "index": index,
+        "edge_types": edge_types,
+    }
