@@ -217,6 +217,21 @@ def main() -> None:
         "lineitem_pricing",
         "top_event_per_user",
         "temporal_interval",
+        # round-5 families (regression coverage for the ≤1.05 A/B gate)
+        "skill_run_graph",
+        "feedback_events",
+        "memory_import_edges",
+        "graph_export_cypher",
+        "subgraph_viz",
+        "session_usage_counts",
+        "regex_entities",
+        "bm25_topk",
+        "kg_triplet_topk",
+        # round-6 additions (absent from the base arm until next round;
+        # the A/B ratio is computed on the shared set)
+        "chunk_associations",
+        "graphiti_reindex",
+        "db_schema_tables",
     ]
     registry = entry_mod.queries()
     timings: dict[str, float] = {}

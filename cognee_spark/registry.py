@@ -55,12 +55,27 @@ SUMMARIZERS: dict[str, Callable[[DataFrame], DataFrame]] = {
 # Named tasks for run_custom_pipeline's `List[str]` form (the reference
 # resolves task names through its DI layer) — each is DataFrame -> DataFrame
 # with engine defaults; register custom ones the same way as kernels.
+def _associate_chunks(df: DataFrame) -> DataFrame:
+    """create_chunk_associations (L11) as a one-frame task — the reference
+    runs it as a pipeline task over chunks backed by the vector index
+    (create_chunk_associations.py:103). Input carries (chunk_id, text,
+    embedding) — the committed chunk-index slice joined to chunk text;
+    output is the weighted ``associated_with`` edges frame."""
+    from cognee_spark.operators.associations import create_chunk_associations
+
+    return create_chunk_associations(
+        df.select("chunk_id", "text"),
+        df.select("chunk_id", "embedding"),
+    )["edges"]
+
+
 CUSTOM_TASKS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "chunk": chunk_documents,
     "chunk_rows": chunk_rows_documents,
     "extract": extract_from_chunks,
     "extract_cascade": cascade_extract_from_chunks,
     "summarize": summarize_chunks,
+    "associate": _associate_chunks,
 }
 
 

@@ -193,3 +193,20 @@ def test_transport_double_is_pure_and_jaccard(spark):
     assert r1 == r2
     assert r1["similarity_score"] == 0.5  # {a,b,c} vs {b,c,d}: 2/4
     assert r1["are_similar"] is True and r1["association_type"] == "topical"
+
+
+def test_associate_registered_as_custom_task(spark, tmp_path):
+    # the reference runs create_chunk_associations as a pipeline task; the
+    # registry exposes it for run_custom_pipeline's List[str] form
+    from cognee_spark.pipeline import run_custom_pipeline
+
+    chunks, emb = _corpus(spark)
+    data = chunks.join(emb, "chunk_id")
+    out = run_custom_pipeline(
+        spark, ["associate"], data, str(tmp_path), signature="assoc-test"
+    )
+    edges = out["result"]
+    assert edges.count() == 1
+    e = edges.first()
+    assert e.relationship_name == "associated_with"
+    assert e.weight == pytest.approx(5 / 7, abs=1e-9)
