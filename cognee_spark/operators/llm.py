@@ -237,6 +237,101 @@ def reference_transport(request: str) -> str:
     return json.dumps({"results": results})
 
 
+# --- production HTTP transports ------------------------------------------------
+#
+# The reference serves extraction through an OpenAI-compatible endpoint
+# (LLMGateway.acreate_structured_output → instructor/litellm →
+# POST {base_url}/chat/completions). Two stdlib-only transports cover the
+# seam: ``HttpTransport`` speaks the native batch contract verbatim (own
+# serving tier), ``OpenAIChatTransport`` wraps each batch as one
+# chat.completions call with JSON response_format (reference parity). Both
+# are plain picklable objects — they ship to executors inside the
+# mapInPandas closure — and both raise on any network/HTTP/envelope fault
+# so LLMExtractor's retry ladder owns ALL failure policy.
+
+
+class HttpTransport:
+    """POST the native request JSON to ``url`` and return the response body.
+
+    Stateless and picklable; each python worker opens its own connections.
+    Non-2xx responses and socket errors raise (urllib.error.HTTPError /
+    URLError), which LLMExtractor retries with backoff and then counts as a
+    skipped batch — no failure policy lives here."""
+
+    def __init__(self, url: str, timeout: float = 30.0,
+                 headers: dict[str, str] | None = None):
+        self.url = url
+        self.timeout = timeout
+        self.headers = dict(headers or {})
+
+    def __call__(self, request: str) -> str:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=request.encode("utf-8"),
+            headers={"Content-Type": "application/json", **self.headers},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read().decode("utf-8")
+
+
+class OpenAIChatTransport:
+    """One native batch request → one OpenAI ``chat.completions`` call.
+
+    Mirrors the reference's serving shape (LLMGateway.py:74 structured
+    output over an OpenAI-compatible endpoint): the batch JSON rides as the
+    user message, ``response_format={"type": "json_object"}`` +
+    ``temperature=0`` ask for deterministic JSON, and the assistant
+    message content IS the native response envelope
+    (``{"results": [...]}``), which LLMExtractor validates row-by-row as
+    usual — a model that answers off-schema is counted, not trusted."""
+
+    SYSTEM_PROMPT = (
+        "You are a knowledge-graph extractor. The user message is a JSON "
+        'object {"model": ..., "batch": [{"chunk_id", "text"}, ...]}. '
+        "For every batch item extract entity nodes and relationship edges "
+        "from its text and respond with ONLY a JSON object of the form "
+        '{"results": [{"chunk_id": ..., "nodes": [{"name", "type"}, ...], '
+        '"edges": [{"source", "target", "relationship_name"}, ...]}, ...]} '
+        "covering every chunk_id in the batch."
+    )
+
+    def __init__(self, base_url: str, model: str = "gpt-4o-mini",
+                 api_key: str | None = None, timeout: float = 60.0):
+        self.url = base_url.rstrip("/") + "/chat/completions"
+        self.model = model
+        self.api_key = api_key
+        self.timeout = timeout
+
+    def __call__(self, request: str) -> str:
+        import urllib.request
+
+        body = json.dumps(
+            {
+                "model": self.model,
+                "messages": [
+                    {"role": "system", "content": self.SYSTEM_PROMPT},
+                    {"role": "user", "content": request},
+                ],
+                "response_format": {"type": "json_object"},
+                "temperature": 0,
+            }
+        )
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            self.url, data=body.encode("utf-8"), headers=headers, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            envelope = json.loads(resp.read().decode("utf-8"))
+        # KeyError/IndexError here = malformed completion envelope → the
+        # retry ladder treats it like any other transport fault.
+        return envelope["choices"][0]["message"]["content"]
+
+
 class TransientFaultTransport:
     """Wrap a transport so the FIRST attempt at every ``every_n``-th distinct
     request raises (deterministic by request digest) — retry must recover.
