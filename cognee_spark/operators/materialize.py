@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cognee_spark.functions.ids import edge_object_id_col, id_for_col
+from cognee_spark.functions.ids import (
+    edge_object_id_col,
+    id_for_col,
+    normalize_identity_col,
+)
 from cognee_spark.operators.components import connected_components
 
 
@@ -30,22 +34,38 @@ def build_nodes(triples: DataFrame, mentions_kinds: DataFrame | None = None) -> 
 
     Kind is joined back from mentions when available (subjects/objects that
     survived linking keep their extraction kind; unknown → 'entity')."""
+    # Every triple endpoint is already identity-normalized by construction
+    # (code_triples / nl_triples / ontology_is_a_triples all emit
+    # normalize_identity_col output), so entity_id = uuid5(normalize(name))
+    # is injective over distinct names and ONE aggregation both dedups and
+    # (for out-of-contract callers) collapses un-normalized variants onto
+    # their id key deterministically (min name wins). The previous
+    # distinct-then-dropDuplicates(entity_id) form paid a second full
+    # shuffle of the nodes table for the same result.
+    endpoints = triples.select(F.col("subj").alias("name")).union(
+        triples.select(F.col("obj").alias("name"))
+    )
     names = (
-        triples.select(F.col("subj").alias("name"))
-        .union(triples.select(F.col("obj").alias("name")))
-        .distinct()
+        endpoints.groupBy(normalize_identity_col(F.col("name")).alias("_id_key"))
+        .agg(F.min("name").alias("name"))
     )
     if mentions_kinds is not None:
         # kinds table = one row per distinct canonical entity — grows with the
-        # corpus, so it must NOT broadcast (sort-merge spills; AQE skew-splits)
-        names = names.join(mentions_kinds.hint("merge"), "name", "left")
+        # corpus, so it must NOT broadcast (sort-merge spills; AQE skew-splits).
+        # Joining on the normalized key reuses the groupBy's exchange (kind
+        # names are canonical = already normalized).
+        names = names.join(
+            mentions_kinds.hint("merge").withColumnRenamed("name", "_id_key"),
+            "_id_key",
+            "left",
+        )
     else:
         names = names.withColumn("kind", F.lit(None).cast("string"))
     return names.select(
         id_for_col("Entity", F.col("name")).alias("entity_id"),
         "name",
         F.coalesce("kind", F.lit("entity")).alias("kind"),
-    ).dropDuplicates(["entity_id"])
+    )
 
 
 def build_entity_types(nodes: DataFrame) -> DataFrame:
