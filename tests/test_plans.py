@@ -138,3 +138,34 @@ def test_truth_projection_and_rollups_are_codegen(spark):
 
     plan = _plan(entry_mod.coding_rules(spark, SF_DIR))
     assert "EvalPython" not in plan, plan
+
+
+def test_build_nodes_single_aggregation_exchange(spark):
+    """build_nodes must dedup endpoints in ONE aggregation keyed on the
+    normalized identity (round 6: the old distinct-then-
+    dropDuplicates(entity_id) form shuffled the node table twice), and the
+    kinds sort-merge join must reuse that aggregation's exchange — one
+    HashAggregate pair, no exchange between the aggregate and the join on
+    the nodes side."""
+    from cognee_spark.operators.materialize import build_nodes
+
+    triples = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("a", "r", "c")],
+        ["subj", "pred", "obj"],
+    )
+    plan = _plan(build_nodes(triples))
+    # one partial/final aggregate pair (min(string) compiles to SortAggregate
+    # — map-side combine still applies) and exactly ONE exchange: the node
+    # table crosses the network once
+    assert len(re.findall(r"(?:Sort|Hash)Aggregate", plan)) == 2, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan
+
+    kinds = spark.createDataFrame([("a", "thing")], ["name", "kind"])
+    plan = _plan(build_nodes(triples, mentions_kinds=kinds))
+    # join keyed on the same normalized key: the dedup aggregation's exchange
+    # is the only one on the nodes side — no re-partition between the
+    # aggregate and the sort-merge join (kinds side has its own exchange)
+    assert len(re.findall(r"(?:Sort|Hash)Aggregate", plan)) == 2, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "EvalPython" not in plan
