@@ -1762,6 +1762,151 @@ FROM priced GROUP BY session_id, user_id
 """
 
 
+_STREAM_MODELS = ("gpt-4o", "gpt-4o-mini", "o3")
+
+
+def _stream_calls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic priced-call stream derived from the events table: one
+    session per (user, day), 'purchase' events are the session's terminal
+    ('completed') marker, 'error' events mark errored calls, token counts
+    come from the event id so no text generation is involved."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat_ws(
+            "-",
+            F.lit("sess"),
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("session_id"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("user_id"),
+        # the synthetic table stores TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _STREAM_MODELS]),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).alias("model"),
+        (F.col("event_id") % 97 + 1).cast("long").alias("tokens_in_override"),
+        (F.col("event_id") % 31).cast("long").alias("tokens_out_override"),
+        (F.col("event_type") == "error").alias("error"),
+        F.when(F.col("event_type") == "purchase", F.lit("completed")).alias("status"),
+    )
+
+
+def stream_session_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: session lifecycle as
+    applyInPandasWithState with an event-time timeout
+    (cognee_spark/streaming/sessions.py — the push-based twin of the
+    reference's read-time abandoned rule, session_lifecycle/metrics.py
+    get_effective_status_sql). The bounded call stream is drained through
+    three availableNow runs (real calls, then two far-future heartbeats that
+    advance the persisted watermark past every real session's
+    last_activity + gap), so every session emits exactly once — its terminal
+    status on the 'purchase' end-event, else 'abandoned' — and the output is
+    deterministic, letting DuckDB replay the full rollup including the
+    freeze rule (calls after the terminal event never accrue)."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from cognee_spark.operators.lifecycle import priced_calls
+    from cognee_spark.streaming.sessions import stream_session_records
+
+    calls = _stream_calls_df(spark, sf_dir)
+    max_ts = calls.agg(F.max("ts")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="cognee_stream_sess_")
+    try:
+        in_dir = os.path.join(root, "calls")
+        out_dir = os.path.join(root, "records")
+        ckpt = os.path.join(root, "ckpt")
+        calls.write.mode("append").parquet(in_dir)
+        schema = spark.read.parquet(in_dir).schema
+
+        def drain() -> None:
+            stream = spark.readStream.schema(schema).parquet(in_dir)
+            q = (
+                stream_session_records(
+                    priced_calls(stream), gap_seconds=1800, watermark="10 seconds"
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        for i, days in enumerate((30, 60), start=1):
+            spark.createDataFrame(
+                [(f"hb-{i}", "hb", max_ts + _dt.timedelta(days=days), "o3", 1, 0, False, None)],
+                schema,
+            ).write.mode("append").parquet(in_dir)
+            drain()
+
+        out = (
+            spark.read.parquet(out_dir)
+            .where(~F.col("session_id").startswith("hb-"))
+            .select(
+                "session_id",
+                "user_id",
+                F.col("started_at").cast("long").alias("started_at"),
+                F.col("last_activity_at").cast("long").alias("last_activity_at"),
+                "n_calls",
+                "tokens_in",
+                "tokens_out",
+                # exact: the operator folds integer nanodollars, so the
+                # per-session cost is sum(nanos)/1e9 on both engines —
+                # bit-identical, no rounding-boundary hazard
+                "cost_usd",
+                "error_count",
+                "status",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _stream_session_sql() -> str:
+    models = ", ".join(f"'{m}'" for m in _STREAM_MODELS)
+    return f"""
+WITH calls AS (
+  SELECT 'sess-' || user_id || '-' || strftime(ts, '%Y-%m-%d') AS session_id,
+         'user-' || user_id AS user_id, ts,
+         list_extract([{models}], CAST(event_id % 3 + 1 AS INT)) AS model,
+         event_id % 97 + 1 AS tokens_in,
+         event_id % 31 AS tokens_out,
+         event_type = 'error' AS error,
+         CASE WHEN event_type = 'purchase' THEN 'completed' END AS status
+  FROM events
+),
+term AS (
+  SELECT session_id, min(ts) AS term_ts FROM calls
+  WHERE status IS NOT NULL GROUP BY session_id
+),
+scoped AS (
+  -- the freeze rule: nothing after the earliest terminal event accrues
+  SELECT c.* FROM calls c LEFT JOIN term t USING (session_id)
+  WHERE t.term_ts IS NULL OR c.ts <= t.term_ts
+),
+keyed AS (SELECT *, lower(model) AS mkey FROM scoped),
+priced AS (SELECT *, {_pricing_case_sql()} AS cost_usd FROM keyed)
+SELECT session_id,
+       min(user_id) AS user_id,
+       CAST(epoch_ms(min(ts)) // 1000 AS BIGINT) AS started_at,
+       CAST(epoch_ms(max(ts)) // 1000 AS BIGINT) AS last_activity_at,
+       CAST(count(*) FILTER (WHERE status IS NULL) AS BIGINT) AS n_calls,
+       CAST(coalesce(sum(tokens_in) FILTER (WHERE status IS NULL), 0) AS BIGINT) AS tokens_in,
+       CAST(coalesce(sum(tokens_out) FILTER (WHERE status IS NULL), 0) AS BIGINT) AS tokens_out,
+       coalesce(sum(CAST(round(cost_usd * 1e9) AS BIGINT)) FILTER (WHERE status IS NULL), 0) / 1e9 AS cost_usd,
+       CAST(count(*) FILTER (WHERE status IS NULL AND error) AS BIGINT) AS error_count,
+       coalesce(min(status), 'abandoned') AS status
+FROM priced GROUP BY session_id
+"""
+
+
 def truth_aligned_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truth-subspace-weighted hybrid ranking (hybrid/ranking.py:43-46 +
     truth_subspace/align.py:52-89 + centroids.py): the first 8 embedding
@@ -2714,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_entities": regex_entities,
         "acl_permitted_docs": acl_permitted_docs,
         "search_history": search_history,
+        "stream_session_lifecycle": stream_session_lifecycle,
     }
 
 
@@ -2787,4 +2933,5 @@ def oracle_sql() -> dict[str, str]:
         "regex_entities": _REGEX_ENTITIES_SQL,
         "acl_permitted_docs": _ACL_PERMITTED_SQL,
         "search_history": _SEARCH_HISTORY_SQL,
+        "stream_session_lifecycle": _stream_session_sql(),
     }

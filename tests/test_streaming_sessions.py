@@ -1,0 +1,158 @@
+"""Stateful streaming session lifecycle: terminal events emit immediately and
+freeze the session; the watermark passing last_activity+gap emits 'abandoned'
+exactly once (the batch engine's read-time rule as an event-time timeout)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cognee_spark.operators.lifecycle import priced_calls
+from cognee_spark.streaming.sessions import stream_session_records
+
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+INPUT_SCHEMA = StructType(
+    [
+        StructField("session_id", StringType()),
+        StructField("user_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("model", StringType()),
+        StructField("input_text", StringType()),
+        StructField("output_text", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _run(spark, input_dir, out_dir, ckpt):
+    stream = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    records = stream_session_records(
+        priced_calls(stream), gap_seconds=120, watermark="10 seconds"
+    )
+    q = (
+        records.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _emit(spark, input_dir, rows):
+    spark.createDataFrame(rows, INPUT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+
+def _sec(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def test_stream_session_records(spark, tmp_path):
+    input_dir = str(tmp_path / "calls")
+    out_dir = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    # run 1: two live sessions
+    _emit(
+        spark,
+        input_dir,
+        [
+            ("s1", "alice", _sec(0), "gpt-4o", "x" * 400, "y" * 40, None),
+            ("s1", "alice", _sec(60), "gpt-4o", "x" * 40, "y" * 4, None),
+            ("s2", "bob", _sec(0), "gpt-4o-mini", "x" * 80, "y" * 8, None),
+        ],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+
+    # run 2: s2 ends; a heartbeat session pushes the watermark far past
+    # s1's last_activity + gap. availableNow runs a final no-data batch once
+    # the watermark advances, so s1's timeout fires INSIDE this run.
+    _emit(
+        spark,
+        input_dir,
+        [
+            ("s2", "bob", _sec(120), "gpt-4o-mini", None, None, "completed"),
+            ("hb1", "carol", _sec(3600), "o3", "x" * 4, None, None),
+        ],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+    got = {r.session_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert got["s2"].status == "completed"
+    # the terminal event is not a call: one call, priced from chars/4
+    assert got["s2"].n_calls == 1
+    assert got["s2"].tokens_in == 20 and got["s2"].tokens_out == 2
+    assert got["s2"].last_activity_at == _sec(120)
+    assert got["s1"].status == "abandoned"  # watermark passed 60s + gap
+    assert "hb1" not in got  # watermark (3590s) hasn't passed hb1's gap
+
+    # run 3: hb2 pushes the watermark past hb1's gap; s2's tombstone GCs
+    # silently, s1 and s2 must NOT re-emit (exactly-once)
+    _emit(
+        spark,
+        input_dir,
+        [("hb2", "carol", _sec(7200), "o3", "x" * 4, None, None)],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == len({r.session_id for r in rows})  # no duplicates
+    got = {r.session_id: r for r in rows}
+    assert got["s1"].status == "abandoned"
+    assert got["s1"].n_calls == 2
+    assert got["s1"].tokens_in == 100 + 10 and got["s1"].tokens_out == 10 + 1
+    assert got["s1"].started_at == _sec(0)
+    assert got["s1"].last_activity_at == _sec(60)
+    assert got["s1"].cost_usd > 0.0
+    # exactly-once: one record each; hb1 timed out abandoned, hb2 still live
+    assert sorted(got) == ["hb1", "s1", "s2"]
+    assert got["hb1"].status == "abandoned"
+
+
+def test_terminal_freezes_stragglers(spark, tmp_path):
+    """A call landing after the terminal event (within the watermark) must
+    not reopen or re-emit the session — the reference's freeze rule."""
+    input_dir = str(tmp_path / "calls")
+    out_dir = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    _emit(
+        spark,
+        input_dir,
+        [
+            ("s1", "alice", _sec(0), "gpt-4o", "x" * 400, "y" * 40, None),
+            ("s1", "alice", _sec(30), "gpt-4o", None, None, "failed"),
+        ],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+
+    # straggler inside the watermark window + heartbeat to advance/GC
+    _emit(
+        spark,
+        input_dir,
+        [
+            ("s1", "alice", _sec(35), "gpt-4o", "x" * 4000, "y" * 400, None),
+            ("hb", "carol", _sec(3600), "o3", "x" * 4, None, None),
+        ],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+    _emit(spark, input_dir, [("hb2", "carol", _sec(7200), "o3", "x" * 4, None, None)])
+    _run(spark, input_dir, out_dir, ckpt)
+
+    rows = spark.read.parquet(out_dir).where(F.col("session_id") == "s1").collect()
+    assert len(rows) == 1  # frozen: no re-emission, straggler never accrued
+    assert rows[0].status == "failed"
+    assert rows[0].n_calls == 1
+    assert rows[0].tokens_in == 100
