@@ -1812,6 +1812,11 @@ def stream_session_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cognee_spark.operators.lifecycle import priced_calls
     from cognee_spark.streaming.sessions import stream_session_records
 
+    # the NTZ→TIMESTAMP cast in _stream_calls_df interprets wall time in the
+    # session timezone; pin UTC so epoch outputs match DuckDB's UTC-naive
+    # epoch_ms regardless of the caller session's timeZone setting
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     calls = _stream_calls_df(spark, sf_dir)
     max_ts = calls.agg(F.max("ts")).collect()[0][0]
     root = tempfile.mkdtemp(prefix="cognee_stream_sess_")
@@ -1866,6 +1871,7 @@ def stream_session_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
         shutil.rmtree(root, ignore_errors=True)
 
 
