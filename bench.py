@@ -232,6 +232,9 @@ def main() -> None:
         "chunk_associations",
         "graphiti_reindex",
         "db_schema_tables",
+        # stateful streaming drain: ~20-35s at sf0.1, dominated by the three
+        # availableNow runs + state-store round-trips, not per-row cost
+        "stream_session_lifecycle",
     ]
     registry = entry_mod.queries()
     timings: dict[str, float] = {}
