@@ -1801,9 +1801,10 @@ def stream_session_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     three availableNow runs (real calls, then two far-future heartbeats that
     advance the persisted watermark past every real session's
     last_activity + gap), so every session emits exactly once — its terminal
-    status on the 'purchase' end-event, else 'abandoned' — and the output is
-    deterministic, letting DuckDB replay the full rollup including the
-    freeze rule (calls after the terminal event never accrue)."""
+    status once the watermark passes the 'purchase' end-event's ts, else
+    'abandoned' — and the output is deterministic, letting DuckDB replay the
+    full rollup including the event-time freeze rule (only calls with
+    ts <= the earliest terminal ts accrue)."""
     import datetime as _dt
     import os
     import shutil

@@ -50,7 +50,12 @@ _VERDICT_SCHEMA = (
     "reasoning string, association_type string"
 )
 
-_WS = re.compile(r"\s+")
+# RE2's \s class ([\t\n\f\r ]), NOT Python's Unicode \s: the DuckDB oracle
+# tokenizes with string_split_regex('\s+') (RE2), so a Python-\s split would
+# diverge on NBSP/U+2028-bearing chunks — the same cross-path hazard
+# truth.py:59 pins for normalize_statement (there against Java \s, which
+# additionally matches \x0b)
+_WS = re.compile(r"[ \t\n\f\r]+")
 
 
 def _tokens(text: str) -> set[str]:
@@ -124,19 +129,23 @@ def compare_chunk_pairs(
             out: list[dict] = []
             for start in range(0, len(pdf), batch_size):
                 sub = pdf.iloc[start : start + batch_size]
-                ids = {}
-                for rec in sub.itertuples(index=False):
-                    ids[f"{rec.a}|{rec.b}"] = (rec.a, rec.b)
+                # positional pair ids: chunk ids are arbitrary caller strings,
+                # so any content-derived id (e.g. "a|b") can collide and
+                # silently cross-wire two pairs' verdicts
+                ids = {
+                    str(i): (rec.a, rec.b)
+                    for i, rec in enumerate(sub.itertuples(index=False))
+                }
                 request = json.dumps(
                     {
                         "model": model,
                         "batch": [
                             {
-                                "pair_id": f"{rec.a}|{rec.b}",
+                                "pair_id": str(i),
                                 "chunk_1": rec.text_a,
                                 "chunk_2": rec.text_b,
                             }
-                            for rec in sub.itertuples(index=False)
+                            for i, rec in enumerate(sub.itertuples(index=False))
                         ],
                     }
                 )
@@ -236,6 +245,17 @@ def create_chunk_associations(
         F.col(chunk_id_col).cast("string").alias("chunk_id"),
         F.col(text_col).alias("text"),
     )
+    # probe dim/unroll on the RAW embeddings input: on the semi-joined frame
+    # below, embedding_duplicates' count()/first() probes would each run a
+    # full join job instead of a metadata-only scan. The raw count upper-
+    # bounds the valid count, so the unroll gate can only flip toward the
+    # codegen path — a perf heuristic, never a semantics change.
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col).alias("d")).first().d
+    if unroll is None:
+        from cognee_spark.operators.dedup import UNROLL_MIN_ROWS
+
+        unroll = embeddings.count() >= UNROLL_MIN_ROWS
     emb = embeddings.select(
         F.col(chunk_id_col).cast("string").alias("chunk_id"), vec_col
     ).join(valid.select("chunk_id"), "chunk_id", "semi")

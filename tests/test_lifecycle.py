@@ -117,14 +117,15 @@ def test_effective_status_abandoned_at_read_time(spark):
     assert out == {"s1": "abandoned", "s2": "running", "s3": "completed"}
 
 
-def test_terminal_session_with_null_ended_at_is_frozen(spark):
-    # status alone freezes (the reference's rule): a completed session
-    # whose ended_at was never stored still accrues NOTHING
+def test_terminal_session_with_null_ended_at_keeps_usage(spark):
+    # a terminal session whose ended_at was never stored has no freeze
+    # boundary: no call can be proven late, so its usage is preserved —
+    # zeroing the session would silently drop real spend from billing
     sessions = spark.createDataFrame(
         [("s1", 1, "completed", None), ("s2", 1, "running", None)],
         "session_id string, user_id int, status string, ended_at timestamp",
     )
     out = {r.session_id: r
            for r in session_usage(_calls(spark), sessions=sessions).collect()}
-    assert "s1" not in out          # every s1 call is a post-terminal straggler
+    assert out["s1"].n_calls == 2   # all calls kept: no boundary to cut at
     assert out["s2"].n_calls == 1   # running session unaffected

@@ -266,3 +266,23 @@ def test_later_feedback_entry_overrides_inline_feedback(spark):
     empty_fb = fb.where(F.lit(False))
     kept = R.apply_feedback(out["qa"], empty_fb).first()
     assert (kept.feedback_text, kept.feedback_score) == ("inline", 2)
+
+
+def test_apply_feedback_with_single_inline_column(spark):
+    # inline gates are per-column: a qa frame carrying only feedback_text
+    # keeps it, one carrying only feedback_score resolves without an
+    # unresolved-column error (text-only / score-only inline feedback)
+    fb_schema = ("qa_id string, feedback_text string, feedback_score int, "
+                 "seq long")
+    empty_fb = spark.createDataFrame([], fb_schema)
+    text_only = spark.createDataFrame(
+        [("q1", "helpful")], "entry_id string, feedback_text string"
+    )
+    folded = R.apply_feedback(text_only, empty_fb).first()
+    assert folded.feedback_text == "helpful" and folded.feedback_score is None
+
+    score_only = spark.createDataFrame(
+        [("q2", 4)], "entry_id string, feedback_score int"
+    )
+    folded = R.apply_feedback(score_only, empty_fb).first()
+    assert folded.feedback_score == 4 and folded.feedback_text is None

@@ -120,6 +120,76 @@ def test_stream_session_records(spark, tmp_path):
     assert got["hb1"].status == "abandoned"
 
 
+def test_late_call_before_terminal_accrues(spark, tmp_path):
+    """A call with ts <= term_ts arriving AFTER the terminal event (but inside
+    the watermark) accrues — the freeze is event-time scoped, not
+    processing-order scoped, matching the batch rollup's c.ts <= t.term_ts."""
+    input_dir = str(tmp_path / "calls")
+    out_dir = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    _emit(
+        spark,
+        input_dir,
+        [
+            ("s1", "alice", _sec(0), "gpt-4o", "x" * 400, "y" * 40, None),
+            ("s1", "alice", _sec(100), "gpt-4o", None, None, "completed"),
+        ],
+    )
+    _run(spark, input_dir, out_dir, ckpt)  # watermark lands at 90s < term_ts
+
+    # in-scope late call (ts=95 <= term_ts=100, above the 90s watermark),
+    # processed a full micro-batch after the terminal event; the heartbeat
+    # advances the watermark past term_ts so the record emits this run
+    _emit(
+        spark,
+        input_dir,
+        [
+            ("s1", "alice", _sec(95), "gpt-4o", "x" * 40, "y" * 4, None),
+            ("hb", "carol", _sec(3600), "o3", "x" * 4, None, None),
+        ],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+
+    rows = spark.read.parquet(out_dir).where(F.col("session_id") == "s1").collect()
+    assert len(rows) == 1
+    assert rows[0].status == "completed"
+    assert rows[0].n_calls == 2  # the late-but-in-scope call counted
+    assert rows[0].tokens_in == 100 + 10
+    assert rows[0].last_activity_at == _sec(100)  # the terminal event's ts
+
+
+def test_call_tied_with_terminal_counts_any_order(spark, tmp_path):
+    """A call at exactly term_ts counts even when the terminal row precedes it
+    in arrival order — the fold is order-independent within a batch (the
+    oracle's inclusive c.ts <= t.term_ts bound)."""
+    input_dir = str(tmp_path / "calls")
+    out_dir = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    _emit(
+        spark,
+        input_dir,
+        [
+            ("s1", "alice", _sec(50), "gpt-4o", None, None, "completed"),
+            ("s1", "alice", _sec(50), "gpt-4o", "x" * 40, "y" * 4, None),
+            ("s1", "alice", _sec(60), "gpt-4o", "x" * 4000, None, None),
+        ],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+    _emit(spark, input_dir, [("hb", "carol", _sec(3600), "o3", "x" * 4, None, None)])
+    _run(spark, input_dir, out_dir, ckpt)
+
+    rows = spark.read.parquet(out_dir).where(F.col("session_id") == "s1").collect()
+    assert len(rows) == 1
+    assert rows[0].status == "completed"
+    assert rows[0].n_calls == 1  # the tied call counted; the ts=60 one frozen
+    assert rows[0].tokens_in == 10
+    assert rows[0].last_activity_at == _sec(50)
+
+
 def test_terminal_freezes_stragglers(spark, tmp_path):
     """A call landing after the terminal event (within the watermark) must
     not reopen or re-emit the session — the reference's freeze rule."""

@@ -55,12 +55,19 @@ root = tempfile.mkdtemp(prefix="cognee_attrib", dir=scratch)
 run_pipeline(spark, build_repos_df(spark, 210), root + "_warm", "warm:210",
              compute_metrics=False, force=True,
              with_summaries=False, with_index=False)
+# marker job: everything before it (the warm-up's identically-described
+# stage jobs) is excluded from attribution
+spark.sparkContext.setLocalProperty("spark.job.description", "attrib:marker")
+spark.range(1).count()
 repos = spark.read.parquet({input_dir!r}).select(
     "repo", "path", "commit", "lang", "content")
 started = time.perf_counter()
 result = run_pipeline(spark, repos, root, "attrib:{n_files}",
                       compute_metrics=False, force=True,
                       with_summaries=False, with_index=False)
+# the main thread still carries the last stage's description — relabel the
+# verification count so it doesn't inflate that stage
+spark.sparkContext.setLocalProperty("spark.job.description", "final_count")
 triples = result["tables"]["triples"].count()
 wall = time.perf_counter() - started
 shutil.rmtree(root, ignore_errors=True)
@@ -84,10 +91,15 @@ def run_leg(n_files: int, cpus: int, mode: str, input_dir: str, evdir: str) -> d
 
 
 def attribute(evdir: str) -> dict[str, dict]:
-    """Fold event-log task metrics into per-job-description sums."""
+    """Fold event-log task metrics into per-job-description sums.
+
+    Jobs at or before the 'attrib:marker' job (the warm-up run, whose stage
+    jobs carry the SAME descriptions as the measured leg) are dropped, so
+    the sums cover exactly the measured pipeline."""
     stage_to_job: dict[int, int] = {}
     job_desc: dict[int, str] = {}
-    agg: dict[str, dict] = defaultdict(lambda: defaultdict(float))
+    per_job: dict[int, dict] = defaultdict(lambda: defaultdict(float))
+    marker_job = -1
     for path in sorted(glob.glob(evdir + "/**/*", recursive=True)):
         if os.path.isdir(path) or path.endswith(".inprogress.crc"):
             continue
@@ -100,14 +112,17 @@ def attribute(evdir: str) -> dict[str, dict]:
                 kind = ev.get("Event")
                 if kind == "SparkListenerJobStart":
                     jid = ev["Job ID"]
-                    job_desc[jid] = (ev.get("Properties") or {}).get(
+                    desc = (ev.get("Properties") or {}).get(
                         "spark.job.description", "?")
+                    job_desc[jid] = desc
+                    if desc == "attrib:marker":
+                        marker_job = max(marker_job, jid)
                     for sid in ev.get("Stage IDs", []):
                         stage_to_job[sid] = jid
                 elif kind == "SparkListenerTaskEnd":
-                    desc = job_desc.get(stage_to_job.get(ev.get("Stage ID"), -1), "?")
+                    jid = stage_to_job.get(ev.get("Stage ID"), -1)
                     m = ev.get("Task Metrics") or {}
-                    a = agg[desc]
+                    a = per_job[jid]
                     a["tasks"] += 1
                     a["run_s"] += m.get("Executor Run Time", 0) / 1e3
                     a["cpu_s"] += m.get("Executor CPU Time", 0) / 1e9
@@ -122,6 +137,13 @@ def attribute(evdir: str) -> dict[str, dict]:
                     a["input_mb"] += im.get("Bytes Read", 0) / 1e6
                     a["spill_mb"] += (m.get("Disk Bytes Spilled", 0)
                                       + m.get("Memory Bytes Spilled", 0)) / 1e6
+    agg: dict[str, dict] = defaultdict(lambda: defaultdict(float))
+    for jid, metrics in per_job.items():
+        if jid <= marker_job:
+            continue  # warm-up (or pre-marker) job — excluded
+        a = agg[job_desc.get(jid, "?")]
+        for k, v in metrics.items():
+            a[k] += v
     return {k: dict(v) for k, v in agg.items()}
 
 
