@@ -15,12 +15,15 @@ Scheduling: the stage DAG is wider than a chain — summarization is
 independent of extraction (the reference runs them as parallel tasks over the
 same chunks, extract_graph_and_summarize.py:12-37), triples and mentions both
 depend only on aliases+extractions, and the five graph leaf tables depend
-only on nodes/triples/mentions. Independent stages are SUBMITTED FROM
-SEPARATE THREADS so their Spark jobs overlap: one stage's write/commit tail
-no longer idles the cluster before the next stage starts. This is what keeps
-N→4N scaling efficiency high — the serial floor is the critical path, not
-the sum of stages. (Spark's scheduler runs concurrently submitted jobs'
-tasks whenever the earlier job doesn't fill every core.)
+only on nodes/triples/mentions. Summarization (small, chunk-scoped) still
+overlaps the spine from its own thread, but the HEAVY stages run one at a
+time: co-scheduling two shuffle-heavy jobs lets their tasks evict each
+other's cache/allocator working sets — event-log attribution at 3.2M files
+measured the overlapped triples∥mentions pair at 1.79x the CPU and 2x the
+wall of the same stages run back-to-back (BENCH/attrib_4exec_3200000*.txt),
+and sequential leaf writes were measured faster the same way in round 4.
+A saturated executor gains nothing from a second concurrent job; an idle
+one is better fed by AQE-sized partitions of the one running stage.
 
 Run via spark-submit:
     spark-submit --py-files cognee_spark.zip -m cognee_spark.pipeline ...
@@ -31,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -271,18 +275,28 @@ def run_pipeline(
             )
             return _stamp(code_m.unionByName(nl_m), "canonicalize")
 
-        # triples and mentions share only `aliases` — overlap their jobs, and
-        # start each dependent stage the moment its actual input commits:
-        # contains_edges needs only mentions, edge_type_histogram only
-        # triples — neither waits for nodes.
-        triples_future = pool.submit(
-            stage, "triples", build_triples, partition_by=["pred"]
-        )
-        mentions_future = pool.submit(
-            stage, "mentions", build_canonical_mentions, partition_by=["mode"]
-        )
-        canonical_mentions = mentions_future.result()
-        triples = triples_future.result()
+        # triples and mentions share only `aliases`, so they COULD overlap —
+        # but two concurrent shuffle-heavy jobs thrash each other's working
+        # sets: event-log attribution at 3.2M files / 4 executors measured
+        # the overlapped pair at 1,310 CPU core-s vs 733 run back-to-back
+        # (1.79x), combined wall 209s vs 105s (BENCH/attrib_4exec_*.txt).
+        # Sequential is also never slower at low parallelism (2 cores have
+        # no idle slots for a second job to fill), so it is the default;
+        # COGNEE_SPINE_OVERLAP=1 restores the overlap to reproduce the A/B.
+        if os.environ.get("COGNEE_SPINE_OVERLAP") == "1":
+            triples_future = pool.submit(
+                stage, "triples", build_triples, partition_by=["pred"]
+            )
+            mentions_future = pool.submit(
+                stage, "mentions", build_canonical_mentions, partition_by=["mode"]
+            )
+            canonical_mentions = mentions_future.result()
+            triples = triples_future.result()
+        else:
+            triples = stage("triples", build_triples, partition_by=["pred"])
+            canonical_mentions = stage(
+                "mentions", build_canonical_mentions, partition_by=["mode"]
+            )
 
         # K1-K4 materialize: nodes BEFORE edges (O9 write ordering). The
         # spine through nodes runs ALONE: co-scheduling leaf writes against
