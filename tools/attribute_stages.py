@@ -93,58 +93,68 @@ def run_leg(n_files: int, cpus: int, mode: str, input_dir: str, evdir: str) -> d
 def attribute(evdir: str) -> dict[str, dict]:
     """Fold event-log task metrics into per-job-description sums.
 
-    Jobs at or before the 'attrib:marker' job (the warm-up run, whose stage
-    jobs carry the SAME descriptions as the measured leg) are dropped, so
-    the sums cover exactly the measured pipeline."""
+    Each application log file gets its OWN job-id keyspace (job ids restart
+    at 0 per Spark application, so folding a multi-app log dir into one
+    keyspace would collide) and its own marker: jobs at or before that
+    file's 'attrib:marker' job (the warm-up run, whose stage jobs carry the
+    SAME descriptions as the measured leg) are dropped, so the sums cover
+    exactly the measured pipeline. Marker-less files (e.g. old bench logs
+    under --report-only) are aggregated in full."""
+    agg: dict[str, dict] = defaultdict(lambda: defaultdict(float))
+    for path in sorted(glob.glob(evdir + "/**/*", recursive=True)):
+        if os.path.isdir(path) or path.endswith(".inprogress.crc"):
+            continue
+        _attribute_file(path, agg)
+    return {k: dict(v) for k, v in agg.items()}
+
+
+def _attribute_file(path: str, agg: dict[str, dict]) -> None:
     stage_to_job: dict[int, int] = {}
     job_desc: dict[int, str] = {}
     per_job: dict[int, dict] = defaultdict(lambda: defaultdict(float))
     marker_job = -1
-    for path in sorted(glob.glob(evdir + "/**/*", recursive=True)):
-        if os.path.isdir(path) or path.endswith(".inprogress.crc"):
-            continue
-        with open(path, errors="ignore") as f:
-            for line in f:
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                kind = ev.get("Event")
-                if kind == "SparkListenerJobStart":
-                    jid = ev["Job ID"]
-                    desc = (ev.get("Properties") or {}).get(
-                        "spark.job.description", "?")
-                    job_desc[jid] = desc
-                    if desc == "attrib:marker":
-                        marker_job = max(marker_job, jid)
-                    for sid in ev.get("Stage IDs", []):
-                        stage_to_job[sid] = jid
-                elif kind == "SparkListenerTaskEnd":
-                    jid = stage_to_job.get(ev.get("Stage ID"), -1)
-                    m = ev.get("Task Metrics") or {}
-                    a = per_job[jid]
-                    a["tasks"] += 1
-                    a["run_s"] += m.get("Executor Run Time", 0) / 1e3
-                    a["cpu_s"] += m.get("Executor CPU Time", 0) / 1e9
-                    a["gc_s"] += m.get("JVM GC Time", 0) / 1e3
-                    a["deser_s"] += m.get("Executor Deserialize Time", 0) / 1e3
-                    sr = m.get("Shuffle Read Metrics") or {}
-                    a["shuf_r_mb"] += (sr.get("Remote Bytes Read", 0)
-                                       + sr.get("Local Bytes Read", 0)) / 1e6
-                    sw = m.get("Shuffle Write Metrics") or {}
-                    a["shuf_w_mb"] += sw.get("Shuffle Bytes Written", 0) / 1e6
-                    im = m.get("Input Metrics") or {}
-                    a["input_mb"] += im.get("Bytes Read", 0) / 1e6
-                    a["spill_mb"] += (m.get("Disk Bytes Spilled", 0)
-                                      + m.get("Memory Bytes Spilled", 0)) / 1e6
-    agg: dict[str, dict] = defaultdict(lambda: defaultdict(float))
+    with open(path, errors="ignore") as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerJobStart":
+                jid = ev["Job ID"]
+                desc = (ev.get("Properties") or {}).get(
+                    "spark.job.description", "?")
+                job_desc[jid] = desc
+                if desc == "attrib:marker":
+                    marker_job = max(marker_job, jid)
+                for sid in ev.get("Stage IDs", []):
+                    stage_to_job[sid] = jid
+            elif kind == "SparkListenerTaskEnd":
+                jid = stage_to_job.get(ev.get("Stage ID"), -1)
+                m = ev.get("Task Metrics") or {}
+                a = per_job[jid]
+                a["tasks"] += 1
+                a["run_s"] += m.get("Executor Run Time", 0) / 1e3
+                a["cpu_s"] += m.get("Executor CPU Time", 0) / 1e9
+                a["gc_s"] += m.get("JVM GC Time", 0) / 1e3
+                a["deser_s"] += m.get("Executor Deserialize Time", 0) / 1e3
+                sr = m.get("Shuffle Read Metrics") or {}
+                a["shuf_r_mb"] += (sr.get("Remote Bytes Read", 0)
+                                   + sr.get("Local Bytes Read", 0)) / 1e6
+                sw = m.get("Shuffle Write Metrics") or {}
+                a["shuf_w_mb"] += sw.get("Shuffle Bytes Written", 0) / 1e6
+                im = m.get("Input Metrics") or {}
+                a["input_mb"] += im.get("Bytes Read", 0) / 1e6
+                a["spill_mb"] += (m.get("Disk Bytes Spilled", 0)
+                                  + m.get("Memory Bytes Spilled", 0)) / 1e6
     for jid, metrics in per_job.items():
-        if jid <= marker_job:
+        # jid -1 = tasks whose stage had no JobStart in this file: keep
+        # them visible under '?' rather than silently dropping them
+        if 0 <= jid <= marker_job:
             continue  # warm-up (or pre-marker) job — excluded
         a = agg[job_desc.get(jid, "?")]
         for k, v in metrics.items():
             a[k] += v
-    return {k: dict(v) for k, v in agg.items()}
 
 
 def print_report(result: dict | None, agg: dict[str, dict]) -> None:
