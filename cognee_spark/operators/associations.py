@@ -251,7 +251,9 @@ def create_chunk_associations(
     # bounds the valid count, so the unroll gate can only flip toward the
     # codegen path — a perf heuristic, never a semantics change.
     if dim is None:
-        dim = embeddings.select(F.size(vec_col).alias("d")).first().d
+        from cognee_spark.operators.dedup import probe_vector_dim
+
+        dim = probe_vector_dim(embeddings, vec_col)
     if unroll is None:
         from cognee_spark.operators.dedup import UNROLL_MIN_ROWS
 

@@ -212,6 +212,23 @@ def hyperplanes(dim: int, n_planes: int = VEC_LSH_PLANES) -> list[list[float]]:
 UNROLL_MIN_ROWS = 50_000
 
 
+def probe_vector_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Dimension of the first NON-NULL vector (a null row — e.g. an embedding
+    recorded for a chunk later filtered out — must not poison the hyperplane
+    dimension for every valid row); raises instead of returning None on an
+    empty or all-null frame."""
+    row = (
+        embeddings.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    if row is None:
+        raise ValueError(
+            f"cannot infer vector dimension: no non-null '{vec_col}' rows"
+        )
+    return row.d
+
+
 def _make_bands_udf(planes: list[list[float]], n_bands: int, per_band: int):
     """Arrow-batched band-key kernel for the small-table LSH path.
 
@@ -304,7 +321,14 @@ def embedding_duplicates(
       consumers; the verify sides are broadcast (bounded by the size gate).
     """
     if dim is None:
-        dim = embeddings.select(F.size(vec_col).alias("d")).first().d
+        dim = probe_vector_dim(embeddings, vec_col)
+    # a null or wrong-dimension vector can never be a duplicate candidate,
+    # and it WOULD crash the numpy band kernel (np.stack needs a rectangular
+    # batch) / null-poison the unrolled zip_with fold — drop such rows here
+    # so both signature paths see the identical rectangular row-set
+    embeddings = embeddings.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
     if unroll is None:
         # parquet-metadata count: cheap at any size (no column decode)
         unroll = embeddings.count() >= UNROLL_MIN_ROWS
@@ -381,7 +405,10 @@ def embedding_duplicates_bruteforce(
     path (recall tests); never the production path."""
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    base = embeddings.select(F.col(id_col).alias("id"), v.alias("v"), norm.alias("n"))
+    # same null-row admission rule as the LSH path (oracle parity)
+    base = embeddings.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), v.alias("v"), norm.alias("n")
+    )
     a = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
     b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)

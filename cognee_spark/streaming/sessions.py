@@ -198,7 +198,14 @@ def _make_tracker(gap_ms: int):
              term_ms, term_status, emitted)
         )
         wm = state.getCurrentWatermarkMs()
-        if term_ms is not None:
+        if emitted:
+            # tombstone: a post-emission straggler (necessarily ts > term_ts,
+            # the watermark already passed it) must NOT shrink the GC deadline
+            # to the next watermark tick — keep the same lateness-window bound
+            # the timed-out branch set, or stragglers arriving gap-ms apart
+            # could reopen the session and duplicate its record
+            state.setTimeoutTimestamp(max((last or term_ms) + gap_ms, wm + 1))
+        elif term_ms is not None:
             # fire as soon as the watermark passes the freeze point
             state.setTimeoutTimestamp(max(term_ms + 1, wm + 1))
         else:

@@ -184,6 +184,67 @@ def test_embedding_duplicates_unroll_paths_identical(spark):
     assert unrolled == interp
 
 
+def test_probe_vector_dim_skips_null_rows(spark):
+    """A null vector in the first scanned row (e.g. an embedding recorded for
+    a chunk later filtered out) must not poison the inferred LSH dimension;
+    an all-null frame raises instead of returning None."""
+    import pytest
+
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from cognee_spark.operators.dedup import probe_vector_dim
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, None), (1, [0.1, 0.2, 0.3])], schema
+    ).coalesce(1)
+    assert probe_vector_dim(df, "embedding") == 3
+
+    empty = spark.createDataFrame([(0, None)], schema)
+    with pytest.raises(ValueError, match="non-null"):
+        probe_vector_dim(empty, "embedding")
+
+
+def test_embedding_duplicates_drops_null_vectors(spark):
+    """A null vector row must not crash the band kernel (np.stack needs a
+    rectangular batch) or null-poison the unrolled fold — it is dropped from
+    the candidate set on BOTH signature paths, and the brute-force oracle
+    admits the same row-set."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from cognee_spark.operators.dedup import (
+        embedding_duplicates,
+        embedding_duplicates_bruteforce,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rows = [(0, None), (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, schema)
+    for unroll in (False, True):
+        got = sorted(
+            (r.a, r.b)
+            for r in embedding_duplicates(
+                df, threshold=0.9, unroll=unroll
+            ).collect()
+        )
+        assert got == [(1, 2)]
+    oracle = sorted(
+        (r.a, r.b)
+        for r in embedding_duplicates_bruteforce(df, threshold=0.9).collect()
+    )
+    assert oracle == [(1, 2)]
+
+
 def test_textstats(spark, docs):
     from cognee_spark.operators.textstats import (
         fingerprints,

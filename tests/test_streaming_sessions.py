@@ -1,6 +1,8 @@
-"""Stateful streaming session lifecycle: terminal events emit immediately and
-freeze the session; the watermark passing last_activity+gap emits 'abandoned'
-exactly once (the batch engine's read-time rule as an event-time timeout)."""
+"""Stateful streaming session lifecycle: a terminal event freezes the session
+at its EVENT TIME (earliest terminal ts; only calls with ts <= term_ts accrue)
+and the record emits once the watermark passes term_ts; the watermark passing
+last_activity+gap emits 'abandoned' exactly once (the batch engine's read-time
+rule as an event-time timeout)."""
 
 from __future__ import annotations
 
@@ -188,6 +190,63 @@ def test_call_tied_with_terminal_counts_any_order(spark, tmp_path):
     assert rows[0].n_calls == 1  # the tied call counted; the ts=60 one frozen
     assert rows[0].tokens_in == 10
     assert rows[0].last_activity_at == _sec(50)
+
+
+def test_post_emission_straggler_keeps_tombstone_deadline(spark, tmp_path):
+    """A straggler processed AFTER the terminal record emitted must not shrink
+    the tombstone's GC deadline to the next watermark tick: with the gap-based
+    bound intact, a second straggler still finds the tombstone (not a fresh
+    session) and the session never emits twice."""
+    input_dir = str(tmp_path / "calls")
+    out_dir = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    # B1: one call + terminal at t=100 (gap=120s, watermark 10s)
+    _emit(
+        spark,
+        input_dir,
+        [
+            ("s1", "alice", _sec(0), "gpt-4o", "x" * 400, "y" * 40, None),
+            ("s1", "alice", _sec(100), "gpt-4o", None, None, "completed"),
+        ],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+    # B2: heartbeat nudges the watermark just past term_ts -> record emits,
+    # tombstone deadline = last + gap = 220s
+    _emit(spark, input_dir, [("hb1", "carol", _sec(210), "o3", "x" * 4, None, None)])
+    _run(spark, input_dir, out_dir, ckpt)
+    # B3: post-emission straggler hits the DATA path on the tombstone (t=212
+    # > watermark 200); the buggy reset would move the deadline to wm+1 and
+    # the trailing no-data batch (wm=205) would GC the tombstone here
+    _emit(
+        spark,
+        input_dir,
+        [
+            ("s1", "alice", _sec(212), "gpt-4o", "x" * 4000, "y" * 400, None),
+            ("hb2", "carol", _sec(215), "o3", "x" * 4, None, None),
+        ],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+    # B4: second straggler inside the original gap window — must land on the
+    # surviving tombstone, not open a fresh 's1'
+    _emit(
+        spark,
+        input_dir,
+        [("s1", "alice", _sec(216), "gpt-4o", "x" * 4000, "y" * 400, None)],
+    )
+    _run(spark, input_dir, out_dir, ckpt)
+    # B5: far heartbeat drives every deadline past; a reopened 's1' would
+    # time out here and emit a duplicate 'abandoned' record
+    _emit(spark, input_dir, [("hb3", "carol", _sec(5000), "o3", "x" * 4, None, None)])
+    _run(spark, input_dir, out_dir, ckpt)
+
+    rows = spark.read.parquet(out_dir).where(F.col("session_id") == "s1").collect()
+    assert len(rows) == 1  # exactly-once survived both stragglers
+    assert rows[0].status == "completed"
+    assert rows[0].n_calls == 1  # stragglers are post-term: never accrued
+    assert rows[0].tokens_in == 100
+    assert rows[0].last_activity_at == _sec(100)
 
 
 def test_terminal_freezes_stragglers(spark, tmp_path):
