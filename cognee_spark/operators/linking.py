@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cognee_spark.functions.ids import normalize_identity_col
+from cognee_spark.functions.sha import SHA_BIN, SHA_RAW, sha_narrow, sha_widen
 from cognee_spark.functions.similarity import SIMILARITY_CUTOFF
 from cognee_spark.operators.components import connected_components
 
@@ -108,7 +109,18 @@ def resolve_code_edges(
     straggler). Semantics are identical; tests pin equality.
     """
     code_m = mentions.where(F.col("mode") == "code")
-    code_e = raw_edges.where(F.col("mode") == "code")
+    # the provenance sha rides the probe side of every resolution join as a
+    # 32-byte digest instead of 64-char hex (functions/sha.py — guarded, so
+    # non-sha fixture values pass through bit-identical); widened back in the
+    # branch selects AFTER the last exchange
+    _sha_bin, _sha_raw = sha_narrow(F.col("content_sha"))
+    code_e = (
+        raw_edges.where(F.col("mode") == "code")
+        .withColumn(SHA_BIN, _sha_bin)
+        .withColumn(SHA_RAW, _sha_raw)
+        .drop("content_sha")
+    )
+    _widened_sha = sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha")
 
     def salt_probe(df: DataFrame) -> DataFrame:
         if not skew_salts:
@@ -191,7 +203,7 @@ def resolve_code_edges(
         .withColumn("dst_resolved", F.coalesce("dst_exact", "dst_suffix"))
         .where(F.col("dst_resolved").isNotNull())
         .select(
-            "repo", "path", "lang", "content_sha", "src",
+            "repo", "path", "lang", _widened_sha, "src",
             F.col("rel"), F.col("dst_resolved").alias("dst"),
         )
     )
@@ -208,7 +220,7 @@ def resolve_code_edges(
             how="left",
         )
         .select(
-            "repo", "path", "lang", "content_sha", "src",
+            "repo", "path", "lang", _widened_sha, "src",
             F.when(F.col("module_name").isNotNull(), F.lit("imports"))
             .otherwise(F.lit("depends_on_external"))
             .alias("rel"),
@@ -218,7 +230,7 @@ def resolve_code_edges(
 
     passthrough = code_e.where(
         F.col("rel").isin("has_method", "depends_on_external", "exposes")
-    ).select("repo", "path", "lang", "content_sha", "src", "rel", "dst")
+    ).select("repo", "path", "lang", _widened_sha, "src", "rel", "dst")
 
     return resolved_calls.unionByName(resolved_imports).unionByName(passthrough)
 
@@ -238,14 +250,21 @@ def code_triples(resolved: DataFrame) -> DataFrame:
         F.col("rel").isin("depends_on_external", "exposes"),
         normalize_identity_col(F.col("dst")),
     ).otherwise(normalize_identity_col(F.concat_ws(":", "repo", "dst")))
+    # the dedup exchange moves the whole triple set — sha rides it narrowed
+    sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
     return (
         resolved.select(
             normalize_identity_col(F.concat_ws(":", "repo", "src")).alias("subj"),
             normalize_identity_col(F.col("rel")).alias("pred"),
             qualify_obj.alias("obj"),
-            "repo", "path", "lang", "content_sha",
+            "repo", "path", "lang",
+            sha_bin.alias(SHA_BIN), sha_raw.alias(SHA_RAW),
         )
         .distinct()
+        .select(
+            "subj", "pred", "obj", "repo", "path", "lang",
+            sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
+        )
     )
 
 
@@ -462,6 +481,7 @@ def nl_triples(raw_edges: DataFrame, mapping: DataFrame) -> DataFrame:
     """NL raw edges + broadcast alias map → canonical (subj, pred, obj)."""
     edges = raw_edges.where(F.col("mode") == "nl")
     m = F.broadcast(mapping)
+    sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
     return (
         edges.join(m.withColumnRenamed("name", "src").withColumnRenamed("canonical", "subj"), "src")
         .join(m.withColumnRenamed("name", "dst").withColumnRenamed("canonical", "obj"), "dst")
@@ -469,7 +489,12 @@ def nl_triples(raw_edges: DataFrame, mapping: DataFrame) -> DataFrame:
             "subj",
             normalize_identity_col(F.col("rel")).alias("pred"),
             "obj",
-            "repo", "path", "lang", "content_sha",
+            "repo", "path", "lang",
+            sha_bin.alias(SHA_BIN), sha_raw.alias(SHA_RAW),
         )
         .distinct()
+        .select(
+            "subj", "pred", "obj", "repo", "path", "lang",
+            sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
+        )
     )

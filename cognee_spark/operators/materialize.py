@@ -26,6 +26,7 @@ from cognee_spark.functions.ids import (
     id_for_col,
     normalize_identity_col,
 )
+from cognee_spark.functions.sha import SHA_BIN, SHA_RAW, sha_min, sha_narrow, sha_widen
 from cognee_spark.operators.components import connected_components
 
 
@@ -88,15 +89,26 @@ def build_structural_edges(mentions: DataFrame) -> DataFrame:
     is already the chunk's deterministic DataPoint id, and dedup runs on the
     narrow natural keys BEFORE any uuid5 derivation.
     """
+    sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
     base = mentions.where(F.col("chunk_id").isNotNull()).select(
         F.col("chunk_id").alias("container_id"),
         F.col("canonical_name").alias("entity_name"),
         F.col("kind").alias("kind"),
-        "content_sha",
+        sha_bin.alias(SHA_BIN),
+        sha_raw.alias(SHA_RAW),
+    )
+    # ONE full-width exchange shared by both families: pre-reduce on the
+    # finest key (container, entity, kind) — map-side combine collapses
+    # repeated mentions before the shuffle, and the two family groupBys below
+    # re-aggregate the REDUCED rows, so their exchanges are small. Both
+    # branches hang off the same subplan, so the big exchange is computed
+    # once per job (ReuseExchange). min-of-min == min keeps provenance exact.
+    pre = base.groupBy("container_id", "entity_name", "kind").agg(
+        F.min(SHA_BIN).alias(SHA_BIN), F.min(SHA_RAW).alias(SHA_RAW)
     )
     exists_in = (
-        base.groupBy("container_id", "kind")
-        .agg(F.min("content_sha").alias("content_sha"))
+        pre.groupBy("container_id", "kind")
+        .agg(F.min(SHA_BIN).alias(SHA_BIN), F.min(SHA_RAW).alias(SHA_RAW))
         .select(
             F.col("container_id").alias("source_node_id"),
             id_for_col("EntityType", F.col("kind")).alias("target_node_id"),
@@ -105,12 +117,12 @@ def build_structural_edges(mentions: DataFrame) -> DataFrame:
             F.concat(F.col("kind"), F.lit(" exists in "), F.col("container_id"), F.lit("."))
             .alias("edge_text"),
             F.lit("structural").alias("edge_kind"),
-            "content_sha",
+            sha_min(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
         )
     )
     mentioned_in = (
-        base.groupBy("container_id", "entity_name")
-        .agg(F.min("content_sha").alias("content_sha"))
+        pre.groupBy("container_id", "entity_name")
+        .agg(F.min(SHA_BIN).alias(SHA_BIN), F.min(SHA_RAW).alias(SHA_RAW))
         .select(
             F.col("container_id").alias("source_node_id"),
             id_for_col("Entity", F.col("entity_name")).alias("target_node_id"),
@@ -120,7 +132,7 @@ def build_structural_edges(mentions: DataFrame) -> DataFrame:
                 F.col("entity_name"), F.lit(" mentioned in "), F.col("container_id"), F.lit(".")
             ).alias("edge_text"),
             F.lit("structural").alias("edge_kind"),
-            "content_sha",
+            sha_min(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
         )
     )
     out = exists_in.unionByName(mentioned_in)
@@ -146,10 +158,13 @@ def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
     # triples table keeps one row per (s,p,o,source-file), so deduping after
     # id derivation would run the uuid5 sha1 chains on every duplicate and
     # shuffle the derived wide rows. min(content_sha) keeps the surviving
-    # provenance deterministic (dropDuplicates picks an arbitrary row).
+    # provenance deterministic (dropDuplicates picks an arbitrary row); the
+    # sha crosses the exchange as a 32-byte digest, not 64-char hex.
+    sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
     content = (
-        triples.groupBy("subj", "pred", "obj")
-        .agg(F.min("content_sha").alias("content_sha"))
+        triples.select("subj", "pred", "obj", sha_bin.alias(SHA_BIN), sha_raw.alias(SHA_RAW))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min(SHA_BIN).alias(SHA_BIN), F.min(SHA_RAW).alias(SHA_RAW))
         .select(
             id_for_col("Entity", F.col("subj")).alias("source_node_id"),
             id_for_col("Entity", F.col("obj")).alias("target_node_id"),
@@ -160,7 +175,7 @@ def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
                 F.lit(" "), F.col("obj"), F.lit("."),
             ).alias("edge_text"),
             F.lit("content").alias("edge_kind"),
-            "content_sha",
+            sha_min(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
         )
         .withColumn(
             "edge_object_id",
@@ -203,13 +218,16 @@ def build_contains_edges(mentions: DataFrame) -> DataFrame:
     mentions and the document (path) for file-level code mentions.
 
     Dedup happens on the narrow natural key BEFORE id derivation — the uuid5
-    sha1 chain runs once per surviving edge, not once per mention row."""
+    sha1 chain runs once per surviving edge, not once per mention row — and
+    the sha crosses the dedup exchange in narrowed binary form."""
     src = F.coalesce(F.col("chunk_id"), F.concat_ws(":", "repo", "path"))
+    sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
     return (
         mentions.select(
             src.alias("container_id"),
             F.col("canonical_name").alias("entity_name"),
-            "content_sha",
+            sha_bin.alias(SHA_BIN),
+            sha_raw.alias(SHA_RAW),
         )
         .distinct()
         .select(
@@ -217,7 +235,7 @@ def build_contains_edges(mentions: DataFrame) -> DataFrame:
             id_for_col("Entity", F.col("entity_name")).alias("entity_id"),
             "entity_name",
             F.lit("contains").alias("relationship_name"),
-            "content_sha",
+            sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
         )
     )
 

@@ -121,6 +121,78 @@ def test_ambiguous_prefilter_is_broadcast_anti_join(spark):
     assert all("Broadcast" in ln for ln in anti), anti
 
 
+def test_sha_rides_exchanges_narrowed(spark):
+    """The provenance sha must cross the dedup/aggregation exchanges as a
+    32-byte digest, never as 64-char hex: every Exchange line in the plans of
+    the sha-carrying operators mentions `_sha_bin`, not `content_sha`
+    (functions/sha.py — 25-30% of those rows' shuffle bytes at scale)."""
+    from cognee_spark.operators.extraction import extract_from_files, mentions_of, raw_edges_of
+    from cognee_spark.operators.linking import code_triples, resolve_code_edges
+    from cognee_spark.operators.materialize import (
+        build_contains_edges,
+        build_edges,
+        build_nodes,
+        build_structural_edges,
+    )
+    from cognee_spark.sources.corpus import build_repos_df
+
+    repos = build_repos_df(spark, 120)
+    files = repos.selectExpr(
+        "repo", "path", "lang", "content", "sha2(content, 256) AS content_sha"
+    )
+    ext = extract_from_files(files)
+    triples = code_triples(resolve_code_edges(mentions_of(ext), raw_edges_of(ext)))
+    mentions = mentions_of(ext).withColumn(
+        "canonical_name", F.col("name")
+    ).withColumn("chunk_id", F.lit("c1"))
+
+    def exchange_lines(df):
+        return [
+            ln
+            for ln in _plan(df).splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+
+    for df in (
+        triples,
+        build_edges(triples, build_nodes(triples)),
+        build_structural_edges(mentions),
+        build_contains_edges(mentions),
+    ):
+        lines = exchange_lines(df)
+        assert lines, _plan(df)
+        for ln in lines:
+            assert "content_sha" not in ln, ln
+
+
+def test_structural_edges_share_one_wide_exchange(spark):
+    """exists_in and mentioned_in both re-aggregate the SAME three-key
+    pre-reduction, so the full-width mentions exchange appears once per
+    distinct subtree and is stage-reused at runtime — the family-level
+    exchanges move only pre-reduced rows."""
+    from cognee_spark.operators.materialize import build_structural_edges
+
+    mentions = spark.createDataFrame(
+        [("c1", "alice", "person", "s1"), ("c1", "bob", "person", "s2")],
+        ["chunk_id", "canonical_name", "kind", "content_sha"],
+    )
+    plan = _plan(build_structural_edges(mentions))
+    wide = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "container_id" in ln
+        and "entity_name" in ln
+        and "kind" in ln
+    ]
+    # both family branches sit on the identical three-key exchange subtree
+    # (modulo attribute ids — runtime stage reuse keys on canonicalized plans)
+    normalized = {
+        re.sub(r"#\d+|plan_id=\d+", "#", ln).strip().lstrip("+-: ") for ln in wide
+    }
+    assert len(wide) == 2 and len(normalized) == 1, plan
+
+
 def test_truth_projection_and_rollups_are_codegen(spark):
     """Round-5 operators must stay JVM-side in their hot paths: the truth
     coordinate projection (runs per-node over the whole corpus) and the
