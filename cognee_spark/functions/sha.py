@@ -14,8 +14,15 @@ The narrowing is *guarded* so it is bit-exact for arbitrary inputs, not just
 contract shas: a value is converted only when it is exactly 64 chars AND
 parses as hex; everything else (test fixtures like ``"sha1"``, NULLs, odd
 strings) rides an overflow string column untouched. The one documented
-deviation: a 64-char UPPERCASE-hex input (impossible from ``sha2``, which
-emits lowercase) is canonicalized to lowercase on the way back out.
+deviation: 64-char hex containing UPPERCASE digits (impossible from
+``sha2``, which emits lowercase) is canonicalized to lowercase — and
+because the canonicalization happens BEFORE any dedup/min that rides the
+narrow pair, such inputs behave as their lowercase twins throughout: a
+``distinct`` collapses an upper/lower case-variant pair to one row, and a
+group min compares the lowercased form (e.g. min over {uppercase-hex
+"BB…B", "aZZZ"} picks "aZZZ", where raw strings would order "BB…B" first).
+Callers needing byte-exact handling of uppercase 64-char hex must not use
+this module; no engine path produces such values.
 
 Order/equality facts the call sites rely on (pinned by tests/test_sha.py):
 - fixed-length binary compares byte-lexicographically in Spark, and lowercase
@@ -28,7 +35,7 @@ Order/equality facts the call sites rely on (pinned by tests/test_sha.py):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SHA_BIN = "_sha_bin"
@@ -51,6 +58,35 @@ def sha_narrow(col: Column) -> tuple[Column, Column]:
 def sha_widen(bin_col: Column, raw_col: Column) -> Column:
     """Reassemble the original sha string (lowercase-canonical for hex)."""
     return F.coalesce(F.lower(F.hex(bin_col)), raw_col)
+
+
+def sha_min_agg() -> tuple[Column, Column]:
+    """The aggregate pair every narrowed min-provenance groupBy uses.
+
+    ``agg(*sha_min_agg())`` keeps the shuffle on the narrow columns; feed the
+    two results to :func:`sha_min` for the reconstructed-string minimum.
+    """
+    return F.min(SHA_BIN).alias(SHA_BIN), F.min(SHA_RAW).alias(SHA_RAW)
+
+
+def sha_distinct(df: DataFrame) -> DataFrame:
+    """``distinct()`` over a frame carrying the narrow pair, widened after.
+
+    The dedup exchange moves the 32-byte digest; the output replaces the
+    (SHA_BIN, SHA_RAW) pair with a single ``content_sha`` string column in
+    SHA_BIN's position, other columns untouched. Distinct over the pair
+    equals distinct over the original strings because the narrowing is
+    injective (the converted and overflow classes are disjoint).
+    """
+    out_cols: list[Column] = []
+    for name in df.columns:
+        if name == SHA_BIN:
+            out_cols.append(
+                sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha")
+            )
+        elif name != SHA_RAW:
+            out_cols.append(F.col(name))
+    return df.distinct().select(*out_cols)
 
 
 def sha_min(bin_col: Column, raw_col: Column) -> Column:

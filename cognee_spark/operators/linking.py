@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cognee_spark.functions.ids import normalize_identity_col
-from cognee_spark.functions.sha import SHA_BIN, SHA_RAW, sha_narrow, sha_widen
+from cognee_spark.functions.sha import (
+    SHA_BIN,
+    SHA_RAW,
+    sha_distinct,
+    sha_narrow,
+    sha_widen,
+)
 from cognee_spark.functions.similarity import SIMILARITY_CUTOFF
 from cognee_spark.operators.components import connected_components
 
@@ -111,8 +117,11 @@ def resolve_code_edges(
     code_m = mentions.where(F.col("mode") == "code")
     # the provenance sha rides the probe side of every resolution join as a
     # 32-byte digest instead of 64-char hex (functions/sha.py — guarded, so
-    # non-sha fixture values pass through bit-identical); widened back in the
-    # branch selects AFTER the last exchange
+    # non-sha fixture values pass through bit-identical). The branch selects
+    # expose BOTH the widened string (the public content_sha schema) and the
+    # narrow pair: code_triples consumes the pair directly and column pruning
+    # removes the unevaluated widen, so the composed pipeline pays no
+    # hex round trip; a consumer reading content_sha prunes the pair instead.
     _sha_bin, _sha_raw = sha_narrow(F.col("content_sha"))
     code_e = (
         raw_edges.where(F.col("mode") == "code")
@@ -120,7 +129,11 @@ def resolve_code_edges(
         .withColumn(SHA_RAW, _sha_raw)
         .drop("content_sha")
     )
-    _widened_sha = sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha")
+    _sha_cols = (
+        sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
+        F.col(SHA_BIN),
+        F.col(SHA_RAW),
+    )
 
     def salt_probe(df: DataFrame) -> DataFrame:
         if not skew_salts:
@@ -203,7 +216,7 @@ def resolve_code_edges(
         .withColumn("dst_resolved", F.coalesce("dst_exact", "dst_suffix"))
         .where(F.col("dst_resolved").isNotNull())
         .select(
-            "repo", "path", "lang", _widened_sha, "src",
+            "repo", "path", "lang", *_sha_cols, "src",
             F.col("rel"), F.col("dst_resolved").alias("dst"),
         )
     )
@@ -220,7 +233,7 @@ def resolve_code_edges(
             how="left",
         )
         .select(
-            "repo", "path", "lang", _widened_sha, "src",
+            "repo", "path", "lang", *_sha_cols, "src",
             F.when(F.col("module_name").isNotNull(), F.lit("imports"))
             .otherwise(F.lit("depends_on_external"))
             .alias("rel"),
@@ -230,7 +243,7 @@ def resolve_code_edges(
 
     passthrough = code_e.where(
         F.col("rel").isin("has_method", "depends_on_external", "exposes")
-    ).select("repo", "path", "lang", _widened_sha, "src", "rel", "dst")
+    ).select("repo", "path", "lang", *_sha_cols, "src", "rel", "dst")
 
     return resolved_calls.unionByName(resolved_imports).unionByName(passthrough)
 
@@ -250,20 +263,20 @@ def code_triples(resolved: DataFrame) -> DataFrame:
         F.col("rel").isin("depends_on_external", "exposes"),
         normalize_identity_col(F.col("dst")),
     ).otherwise(normalize_identity_col(F.concat_ws(":", "repo", "dst")))
-    # the dedup exchange moves the whole triple set — sha rides it narrowed
-    sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
-    return (
+    # the dedup exchange moves the whole triple set — sha rides it narrowed;
+    # resolve_code_edges already carries the narrow pair, so reuse it (the
+    # widen it also exposes is pruned away) instead of re-unhexing per row
+    if SHA_BIN in resolved.columns:
+        sha_bin, sha_raw = F.col(SHA_BIN), F.col(SHA_RAW)
+    else:
+        sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
+    return sha_distinct(
         resolved.select(
             normalize_identity_col(F.concat_ws(":", "repo", "src")).alias("subj"),
             normalize_identity_col(F.col("rel")).alias("pred"),
             qualify_obj.alias("obj"),
             "repo", "path", "lang",
             sha_bin.alias(SHA_BIN), sha_raw.alias(SHA_RAW),
-        )
-        .distinct()
-        .select(
-            "subj", "pred", "obj", "repo", "path", "lang",
-            sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
         )
     )
 
@@ -482,7 +495,7 @@ def nl_triples(raw_edges: DataFrame, mapping: DataFrame) -> DataFrame:
     edges = raw_edges.where(F.col("mode") == "nl")
     m = F.broadcast(mapping)
     sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
-    return (
+    return sha_distinct(
         edges.join(m.withColumnRenamed("name", "src").withColumnRenamed("canonical", "subj"), "src")
         .join(m.withColumnRenamed("name", "dst").withColumnRenamed("canonical", "obj"), "dst")
         .select(
@@ -491,10 +504,5 @@ def nl_triples(raw_edges: DataFrame, mapping: DataFrame) -> DataFrame:
             "obj",
             "repo", "path", "lang",
             sha_bin.alias(SHA_BIN), sha_raw.alias(SHA_RAW),
-        )
-        .distinct()
-        .select(
-            "subj", "pred", "obj", "repo", "path", "lang",
-            sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
         )
     )

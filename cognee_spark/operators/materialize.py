@@ -26,7 +26,14 @@ from cognee_spark.functions.ids import (
     id_for_col,
     normalize_identity_col,
 )
-from cognee_spark.functions.sha import SHA_BIN, SHA_RAW, sha_min, sha_narrow, sha_widen
+from cognee_spark.functions.sha import (
+    SHA_BIN,
+    SHA_RAW,
+    sha_distinct,
+    sha_min,
+    sha_min_agg,
+    sha_narrow,
+)
 from cognee_spark.operators.components import connected_components
 
 
@@ -103,12 +110,15 @@ def build_structural_edges(mentions: DataFrame) -> DataFrame:
     # re-aggregate the REDUCED rows, so their exchanges are small. Both
     # branches hang off the same subplan, so the big exchange is computed
     # once per job (ReuseExchange). min-of-min == min keeps provenance exact.
-    pre = base.groupBy("container_id", "entity_name", "kind").agg(
-        F.min(SHA_BIN).alias(SHA_BIN), F.min(SHA_RAW).alias(SHA_RAW)
-    )
+    # Trade-off: the shared exchange only wins while mentions repeat per
+    # (container, entity, kind) — measured net-negative bytes on this
+    # engine's corpora, where a symbol is mentioned many times per chunk; a
+    # fully pre-deduped mention stream would shuffle ~N rows three times
+    # instead of twice (the upstream scan/extraction reuse still holds).
+    pre = base.groupBy("container_id", "entity_name", "kind").agg(*sha_min_agg())
     exists_in = (
         pre.groupBy("container_id", "kind")
-        .agg(F.min(SHA_BIN).alias(SHA_BIN), F.min(SHA_RAW).alias(SHA_RAW))
+        .agg(*sha_min_agg())
         .select(
             F.col("container_id").alias("source_node_id"),
             id_for_col("EntityType", F.col("kind")).alias("target_node_id"),
@@ -122,7 +132,7 @@ def build_structural_edges(mentions: DataFrame) -> DataFrame:
     )
     mentioned_in = (
         pre.groupBy("container_id", "entity_name")
-        .agg(F.min(SHA_BIN).alias(SHA_BIN), F.min(SHA_RAW).alias(SHA_RAW))
+        .agg(*sha_min_agg())
         .select(
             F.col("container_id").alias("source_node_id"),
             id_for_col("Entity", F.col("entity_name")).alias("target_node_id"),
@@ -164,7 +174,7 @@ def build_edges(triples: DataFrame, nodes: DataFrame) -> DataFrame:
     content = (
         triples.select("subj", "pred", "obj", sha_bin.alias(SHA_BIN), sha_raw.alias(SHA_RAW))
         .groupBy("subj", "pred", "obj")
-        .agg(F.min(SHA_BIN).alias(SHA_BIN), F.min(SHA_RAW).alias(SHA_RAW))
+        .agg(*sha_min_agg())
         .select(
             id_for_col("Entity", F.col("subj")).alias("source_node_id"),
             id_for_col("Entity", F.col("obj")).alias("target_node_id"),
@@ -222,21 +232,19 @@ def build_contains_edges(mentions: DataFrame) -> DataFrame:
     the sha crosses the dedup exchange in narrowed binary form."""
     src = F.coalesce(F.col("chunk_id"), F.concat_ws(":", "repo", "path"))
     sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
-    return (
+    return sha_distinct(
         mentions.select(
             src.alias("container_id"),
             F.col("canonical_name").alias("entity_name"),
             sha_bin.alias(SHA_BIN),
             sha_raw.alias(SHA_RAW),
         )
-        .distinct()
-        .select(
-            "container_id",
-            id_for_col("Entity", F.col("entity_name")).alias("entity_id"),
-            "entity_name",
-            F.lit("contains").alias("relationship_name"),
-            sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
-        )
+    ).select(
+        "container_id",
+        id_for_col("Entity", F.col("entity_name")).alias("entity_id"),
+        "entity_name",
+        F.lit("contains").alias("relationship_name"),
+        "content_sha",
     )
 
 

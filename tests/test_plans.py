@@ -146,23 +146,30 @@ def test_sha_rides_exchanges_narrowed(spark):
         "canonical_name", F.col("name")
     ).withColumn("chunk_id", F.lit("c1"))
 
-    def exchange_lines(df):
-        return [
-            ln
-            for ln in _plan(df).splitlines()
-            if "Exchange hashpartitioning" in ln
-        ]
-
-    for df in (
-        triples,
-        build_edges(triples, build_nodes(triples)),
-        build_structural_edges(mentions),
-        build_contains_edges(mentions),
+    # expects_min: the aggregation-based operators keep the sha OUT of the
+    # exchange keys, so their Exchange lines never showed content_sha even
+    # pre-narrowing — the binding pin for them is that the min aggregate
+    # itself runs on _sha_bin/_sha_raw (partial min crosses the exchange),
+    # never on the hex string
+    for df, expects_min in (
+        (triples, False),
+        (build_edges(triples, build_nodes(triples)), True),
+        (build_structural_edges(mentions), True),
+        (build_contains_edges(mentions), False),
     ):
-        lines = exchange_lines(df)
-        assert lines, _plan(df)
+        plan = _plan(df)
+        lines = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        assert lines, plan
         for ln in lines:
             assert "content_sha" not in ln, ln
+        assert "min(content_sha" not in plan, plan
+        if expects_min:
+            assert "min(_sha_bin" in plan and "min(_sha_raw" in plan, plan
+        else:
+            # distinct-based dedup: the sha pair must BE the exchange keys
+            assert any("_sha_bin" in ln for ln in lines), plan
 
 
 def test_structural_edges_share_one_wide_exchange(spark):
@@ -186,11 +193,15 @@ def test_structural_edges_share_one_wide_exchange(spark):
         and "kind" in ln
     ]
     # both family branches sit on the identical three-key exchange subtree
-    # (modulo attribute ids — runtime stage reuse keys on canonicalized plans)
+    # (modulo attribute ids — runtime stage reuse keys on canonicalized
+    # plans). With AQE off, planner-side ReuseExchange rewrites the second
+    # subtree into a ReusedExchange node instead — equally satisfies the pin.
     normalized = {
         re.sub(r"#\d+|plan_id=\d+", "#", ln).strip().lstrip("+-: ") for ln in wide
     }
-    assert len(wide) == 2 and len(normalized) == 1, plan
+    assert (len(wide) == 2 and len(normalized) == 1) or (
+        len(wide) == 1 and "ReusedExchange" in plan
+    ), plan
 
 
 def test_truth_projection_and_rollups_are_codegen(spark):

@@ -95,6 +95,23 @@ def test_min_agg_matches_python_min_across_classes(spark):
         assert got[g] == expected, g
 
 
+def test_sha_distinct_dedups_and_restores_schema(spark):
+    from cognee_spark.functions.sha import sha_distinct
+
+    vals = [
+        ("a", _real("x")), ("a", _real("x")),   # duplicate hex pair
+        ("b", "sha1"), ("b", "sha1"),           # duplicate overflow pair
+        ("c", None),
+    ]
+    df = spark.createDataFrame(vals, "g string, content_sha string")
+    b, r = sha_narrow(F.col("content_sha"))
+    out = sha_distinct(df.select("g", b.alias(SHA_BIN), r.alias(SHA_RAW)))
+    # SHA pair replaced by content_sha at SHA_BIN's position, SHA_RAW gone
+    assert out.columns == ["g", "content_sha"]
+    got = {(row.g, row.content_sha) for row in out.collect()}
+    assert got == {("a", _real("x")), ("b", "sha1"), ("c", None)}
+
+
 def test_binary_order_equals_hex_string_order(spark):
     # byte-lexicographic order over 32-byte digests == string order over
     # their lowercase hex encodings — the fact sha_min relies on
