@@ -793,18 +793,36 @@ _KG_CACHE: dict = {}
 _KG_GOLDEN_DIR = "/tmp/cognee_kg_golden"
 
 
-def _kg_tables(spark: SparkSession) -> dict:
-    """Run the KG pipeline once per process; the kg_* queries share it."""
+def _kg_tables(spark: SparkSession, need_index: bool = False) -> dict:
+    """Run the KG pipeline once per process; the kg_* queries share it.
+
+    The shared substrate builds only the graph spine (documents → … → edges):
+    of the kg_* queries, only kg_search reads the embeddings table, so the
+    summarization + index stages are deferred until a consumer passes
+    ``need_index=True`` — that call re-runs run_pipeline over the SAME store
+    root, where the committed spine stages resume (signature match) and only
+    the summaries/embeddings stages execute. Every table a query reads is
+    byte-identical either way; the spine-only callers just stop paying for
+    two stages nothing reads (bench: kg_triplet_topk was the only kg_* entry
+    timed, and it spent ~1s of its wall in summaries+index)."""
+    import tempfile
+
+    from cognee_spark.pipeline import run_pipeline
+    from cognee_spark.sources.corpus import build_repos_df
+
     if "tables" not in _KG_CACHE:
-        import tempfile
-
-        from cognee_spark.pipeline import run_pipeline
-        from cognee_spark.sources.corpus import build_repos_df
-
         root = tempfile.mkdtemp(prefix="cognee_kg_entry")
         repos = build_repos_df(spark, _KG_FILES)
+        _KG_CACHE["root"] = root
+        _KG_CACHE["repos"] = repos
         _KG_CACHE["tables"] = run_pipeline(
-            spark, repos, root, f"synthetic:{_KG_FILES}", compute_metrics=False
+            spark, repos, root, f"synthetic:{_KG_FILES}", compute_metrics=False,
+            with_summaries=False, with_index=False,
+        )["tables"]
+    if need_index and "embeddings" not in _KG_CACHE["tables"]:
+        _KG_CACHE["tables"] = run_pipeline(
+            spark, _KG_CACHE["repos"], _KG_CACHE["root"],
+            f"synthetic:{_KG_FILES}", compute_metrics=False,
         )["tables"]
     return _KG_CACHE["tables"]
 
@@ -947,7 +965,9 @@ def kg_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cognee_spark.functions.embeddings import hash_embedding_py
     from cognee_spark.operators.similarity_search import brute_force_topk
 
-    emb = _kg_tables(spark)["embeddings"].where(F.col("collection") == "Entity_name")
+    emb = _kg_tables(spark, need_index=True)["embeddings"].where(
+        F.col("collection") == "Entity_name"
+    )
     qv = hash_embedding_py(_KG_SEARCH_QUERY)
     queries = spark.createDataFrame([("q0", qv)], ["query_id", "query_vec"])
     top = brute_force_topk(
