@@ -1817,14 +1817,20 @@ def stream_session_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState with an event-time timeout
     (cognee_spark/streaming/sessions.py — the push-based twin of the
     reference's read-time abandoned rule, session_lifecycle/metrics.py
-    get_effective_status_sql). The bounded call stream is drained through
-    three availableNow runs (real calls, then two far-future heartbeats that
-    advance the persisted watermark past every real session's
-    last_activity + gap), so every session emits exactly once — its terminal
+    get_effective_status_sql). The bounded call stream is drained through ONE
+    availableNow run: the real calls plus two far-future heartbeat files land
+    before the stream starts, so batch 0 folds every call (watermark 0 — no
+    row is ever late-dropped) and the trailing no-data batch fires every
+    session's event-time timeout once the watermark jumps past
+    last_activity + gap. Every session emits exactly once — its terminal
     status once the watermark passes the 'purchase' end-event's ts, else
     'abandoned' — and the output is deterministic, letting DuckDB replay the
     full rollup including the event-time freeze rule (only calls with
-    ts <= the earliest terminal ts accrue)."""
+    ts <= the earliest terminal ts accrue). The fold itself is
+    batch-order-independent, so this emits row-for-row what the previous
+    three-run drain (one run per arrival wave) emitted, at a third of the
+    stream-startup + state-store-commit cost; multi-run incremental arrival
+    stays pinned by tests/test_streaming_sessions.py."""
     import datetime as _dt
     import os
     import shutil
@@ -1847,29 +1853,32 @@ def stream_session_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = os.path.join(root, "ckpt")
         calls.write.mode("append").parquet(in_dir)
         schema = spark.read.parquet(in_dir).schema
+        # both watermark-advancing heartbeats land BEFORE the stream starts:
+        # batch 0 folds everything at watermark 0 (nothing can be
+        # late-dropped), the trailing no-data batch times every real session
+        # out, and hb-2 keeps hb-1's own session expirable — one stream
+        # start + two micro-batches instead of three starts + six
+        spark.createDataFrame(
+            [
+                (f"hb-{i}", "hb", max_ts + _dt.timedelta(days=days), "o3", 1, 0, False, None)
+                for i, days in enumerate((30, 60), start=1)
+            ],
+            schema,
+        ).write.mode("append").parquet(in_dir)
 
-        def drain() -> None:
-            stream = spark.readStream.schema(schema).parquet(in_dir)
-            q = (
-                stream_session_records(
-                    priced_calls(stream), gap_seconds=1800, watermark="10 seconds"
-                )
-                .writeStream.format("parquet")
-                .option("path", out_dir)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stream_session_records(
+                priced_calls(stream), gap_seconds=1800, watermark="10 seconds"
             )
-            q.awaitTermination()
-
-        drain()
-        for i, days in enumerate((30, 60), start=1):
-            spark.createDataFrame(
-                [(f"hb-{i}", "hb", max_ts + _dt.timedelta(days=days), "o3", 1, 0, False, None)],
-                schema,
-            ).write.mode("append").parquet(in_dir)
-            drain()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
         out = (
             spark.read.parquet(out_dir)

@@ -61,6 +61,57 @@ def _sec(s):
     return T0 + dt.timedelta(seconds=s)
 
 
+def test_tracker_fold_matches_reference():
+    """The numpy fold helpers reproduce the original pandas expressions
+    exactly — including null handling and dtype fallbacks — across the column
+    dtypes the serializer can deliver (int64, float64-with-NaN, object,
+    bool, object-bool-with-None)."""
+    import numpy as np
+    import pandas as pd
+
+    from cognee_spark.streaming.sessions import _cost_nanos, _int_sum, _true_count
+
+    frames = [
+        pd.DataFrame(
+            {
+                "tokens": pd.array([5, 6, 7], dtype="int64"),
+                "cost": [0.1, 0.2, 0.30000000000000004],
+                "err": pd.array([True, False, True], dtype="bool"),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "tokens": [5.0, float("nan"), 7.0],
+                "cost": [0.1, float("nan"), 1e-9 * 0.4],
+                "err": [True, None, False],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "tokens": pd.Series([5, None, "7"], dtype=object),
+                "cost": pd.Series([0.15, None, 2.5], dtype=object),
+                "err": pd.Series([1, None, 0], dtype=object),
+            }
+        ),
+    ]
+    masks = [
+        np.array([True, True, True]),
+        np.array([True, False, True]),
+        np.array([False, False, False]),
+    ]
+    for rows in frames:
+        for mask in masks:
+            assert _int_sum(rows["tokens"], mask) == int(
+                pd.to_numeric(rows["tokens"][mask]).fillna(0).sum()
+            )
+            assert _cost_nanos(rows["cost"], mask) == int(
+                (pd.to_numeric(rows["cost"][mask]).fillna(0.0) * 1e9).round().sum()
+            )
+            assert _true_count(rows["err"], mask) == int(
+                rows["err"][mask].fillna(False).astype(bool).sum()
+            )
+
+
 def test_stream_session_records(spark, tmp_path):
     input_dir = str(tmp_path / "calls")
     out_dir = str(tmp_path / "records")
