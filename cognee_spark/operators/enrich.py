@@ -101,9 +101,15 @@ def disconnected_entities(nodes: DataFrame, triples: DataFrame) -> DataFrame:
 
 def apply_frequency_weights(edges: DataFrame, usage: DataFrame) -> DataFrame:
     """Blend usage counts into feedback_weight:
-    w' = least(0.5 + ln(1+uses)/10, 1.0). usage: (edge_object_id, uses)."""
+    w' = least(0.5 + ln(1+uses)/10, 1.0). usage: (edge_object_id, uses).
+
+    The usage rollup grows with total traffic, not with a dictionary, so the
+    broadcast is probe-guarded; past the bound the join shuffles on the same
+    edge_object_id the edges table already keys."""
+    from cognee_spark.functions.broadcast import bounded_broadcast
+
     return (
-        edges.join(F.broadcast(usage), "edge_object_id", "left")
+        edges.join(bounded_broadcast(usage), "edge_object_id", "left")
         .withColumn(
             "feedback_weight",
             F.round(

@@ -33,28 +33,32 @@ def k_hop_subgraph(
     """Edges reachable within k undirected hops of the seed set.
 
     Frontier expansion by semi-join; the frontier is broadcast each round
-    (seed neighborhoods are tiny relative to the graph — the reference's
-    wide-search pre-filter, SURVEY O12)."""
+    only while a row-count probe proves it dictionary-sized (seed
+    neighborhoods usually are — the reference's wide-search pre-filter,
+    SURVEY O12 — but a 2-hop frontier on a hub-heavy graph can exceed the
+    broadcast envelope, at which point the join falls back to AQE's
+    choice)."""
+    from cognee_spark.functions.broadcast import bounded_broadcast
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     visited = seeds.select(F.col(seed_col).alias("node")).distinct()
-    frontier = visited
+    frontier = visited.localCheckpoint(eager=True)
     for _ in range(k):
+        f = bounded_broadcast(frontier, materialize=False)
         neighbors = (
-            sym.join(F.broadcast(frontier), sym["a"] == frontier["node"])
+            sym.join(f, sym["a"] == f["node"])
             .select(F.col("b").alias("node"))
             .union(
-                sym.join(F.broadcast(frontier), sym["b"] == frontier["node"]).select(
-                    F.col("a").alias("node")
-                )
+                sym.join(f, sym["b"] == f["node"]).select(F.col("a").alias("node"))
             )
             .distinct()
         )
         frontier = neighbors.join(visited, "node", "left_anti").localCheckpoint(eager=True)
         visited = visited.union(frontier).distinct().localCheckpoint(eager=True)
-    v = visited
+    v = bounded_broadcast(visited, materialize=False)
     return (
-        edges.join(F.broadcast(v.withColumnRenamed("node", src)), src)
-        .join(F.broadcast(v.withColumnRenamed("node", dst)), dst)
+        edges.join(v.withColumnRenamed("node", src), src)
+        .join(v.withColumnRenamed("node", dst), dst)
     )
 
 
@@ -73,8 +77,17 @@ def score_triplets(
     (subj, pred, obj, feedback_weight) frame of per-edge learned weights —
     edges without one fall back to the scalar ``feedback_weight`` default.
     Higher weight (positive feedback) lowers the blended score, ranking the
-    edge earlier (lowest-score-first top-k)."""
-    d = F.broadcast(node_distances)
+    edge earlier (lowest-score-first top-k).
+
+    ``node_distances`` is broadcast only while a row-count probe proves it
+    bounded: the default search path feeds this a frame derived from ALL
+    distinct node names (corpus-sized at scale — the reference bounds the
+    fragment via vector search before scoring, get_memory_fragment), and an
+    unconditional hint would force that through a driver hash build.
+    Unbounded frames join unhinted and AQE picks the strategy."""
+    from cognee_spark.functions.broadcast import bounded_broadcast
+
+    d = bounded_broadcast(node_distances)
     subj_d = d.select(F.col("name").alias("subj"), F.col("distance").alias("subj_distance"))
     obj_d = d.select(F.col("name").alias("obj"), F.col("distance").alias("obj_distance"))
     base = (2.0 - importance_weight) * (F.col("subj_distance") + F.col("obj_distance"))

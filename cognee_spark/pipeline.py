@@ -161,8 +161,13 @@ def run_pipeline(
         )
         if dedupe_documents:
             # dedup without shuffling content: find duplicate ids on a thin
-            # projection (tiny set), resolve only those rows by window rank
-            dup_ids = (
+            # projection, resolve only those rows by window rank. The
+            # duplicate-id set is usually tiny but corpus-sized under a bulk
+            # re-ingest where most ids collide, so the broadcast is
+            # probe-guarded (materialized once, reused by both joins).
+            from cognee_spark.functions.broadcast import bounded_broadcast
+
+            dup_ids = bounded_broadcast(
                 base.groupBy("document_id")
                 .count()
                 .where(F.col("count") > 1)
@@ -171,7 +176,7 @@ def run_pipeline(
             from pyspark.sql.window import Window
 
             dups = (
-                base.join(F.broadcast(dup_ids), "document_id")
+                base.join(dup_ids, "document_id")
                 .withColumn(
                     "_r",
                     F.row_number().over(
@@ -181,7 +186,7 @@ def run_pipeline(
                 .where(F.col("_r") == 1)
                 .drop("_r")
             )
-            base = base.join(F.broadcast(dup_ids), "document_id", "left_anti").unionByName(dups)
+            base = base.join(dup_ids, "document_id", "left_anti").unionByName(dups)
         return _stamp(base, "ingest")
 
     documents = stage(

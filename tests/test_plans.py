@@ -223,6 +223,67 @@ def test_truth_projection_and_rollups_are_codegen(spark):
     assert "EvalPython" not in plan, plan
 
 
+def test_score_triplets_broadcast_is_size_guarded(spark, monkeypatch):
+    """No BroadcastExchange over an unbounded node-distance frame: within the
+    probe bound the distance side broadcasts; past it the hint is withheld and
+    the initial plan falls back to a shuffle join (AQE may still re-broadcast
+    from real runtime stats — the point is no FORCED driver hash build)."""
+    from cognee_spark.functions import broadcast as bc
+    from cognee_spark.operators.retrieval import score_triplets
+
+    triples = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")], ["subj", "pred", "obj"]
+    )
+    dist = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.2), ("c", 0.3)], ["name", "distance"]
+    )
+    bounded = _plan(score_triplets(triples, dist))
+    assert "BroadcastHashJoin" in bounded, bounded
+
+    monkeypatch.setattr(bc, "BROADCAST_ROW_BOUND", 1)
+    unbounded = _plan(score_triplets(triples, dist))
+    assert "BroadcastExchange" not in unbounded, unbounded
+
+
+def test_khop_frontier_broadcast_is_size_guarded(spark, monkeypatch):
+    """Same guard on the k-hop frontier joins (hub-heavy graphs can push a
+    2-hop frontier past the broadcast envelope)."""
+    from cognee_spark.functions import broadcast as bc
+    from cognee_spark.operators.retrieval import k_hop_subgraph
+
+    edges = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d")],
+        ["subj", "pred", "obj"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["name"])
+    bounded = _plan(k_hop_subgraph(edges, seeds, k=1))
+    assert "BroadcastHashJoin" in bounded, bounded
+
+    monkeypatch.setattr(bc, "BROADCAST_ROW_BOUND", 0)
+    unbounded = _plan(k_hop_subgraph(edges, seeds, k=1))
+    assert "BroadcastExchange" not in unbounded, unbounded
+
+
+def test_khop_guard_matches_unguarded_result(spark, monkeypatch):
+    """A hub fixture (one node connected to everything) returns the same
+    subgraph whether the frontier broadcasts or falls back to shuffle joins."""
+    from cognee_spark.functions import broadcast as bc
+    from cognee_spark.operators.retrieval import k_hop_subgraph
+
+    rows = [("hub", "r", f"n{i}") for i in range(40)] + [
+        (f"n{i}", "r", f"m{i}") for i in range(40)
+    ]
+    edges = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    seeds = spark.createDataFrame([("hub",)], ["name"])
+    expected = sorted(
+        map(tuple, k_hop_subgraph(edges, seeds, k=2).collect())
+    )
+    monkeypatch.setattr(bc, "BROADCAST_ROW_BOUND", 0)
+    guarded = sorted(map(tuple, k_hop_subgraph(edges, seeds, k=2).collect()))
+    assert guarded == expected
+    assert len(guarded) == 80  # hub reaches every edge within 2 hops
+
+
 def test_build_nodes_single_aggregation_exchange(spark):
     """build_nodes must dedup endpoints in ONE aggregation keyed on the
     normalized identity (round 6: the old distinct-then-
