@@ -29,10 +29,16 @@ from cognee_spark.functions.ids import (
 from cognee_spark.functions.sha import (
     SHA_BIN,
     SHA_RAW,
-    sha_distinct,
     sha_min,
     sha_min_agg,
     sha_narrow,
+    sha_widen,
+)
+from cognee_spark.functions.uuids import (
+    UUID_BIN,
+    UUID_RAW,
+    uuid_narrow,
+    uuid_widen,
 )
 from cognee_spark.operators.components import connected_components
 
@@ -97,8 +103,10 @@ def build_structural_edges(mentions: DataFrame) -> DataFrame:
     narrow natural keys BEFORE any uuid5 derivation.
     """
     sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
+    cid_bin, cid_raw = uuid_narrow(F.col("chunk_id"))
     base = mentions.where(F.col("chunk_id").isNotNull()).select(
-        F.col("chunk_id").alias("container_id"),
+        cid_bin.alias(UUID_BIN),
+        cid_raw.alias(UUID_RAW),
         F.col("canonical_name").alias("entity_name"),
         F.col("kind").alias("kind"),
         sha_bin.alias(SHA_BIN),
@@ -115,31 +123,36 @@ def build_structural_edges(mentions: DataFrame) -> DataFrame:
     # engine's corpora, where a symbol is mentioned many times per chunk; a
     # fully pre-deduped mention stream would shuffle ~N rows three times
     # instead of twice (the upstream scan/extraction reuse still holds).
-    pre = base.groupBy("container_id", "entity_name", "kind").agg(*sha_min_agg())
+    # Both the provenance sha AND the container id cross every exchange in
+    # narrowed binary form (32 + 16 bytes instead of 64 + 36 chars);
+    # grouping on the (bin, raw) pair equals grouping on the original
+    # strings because the narrowing is injective.
+    pre = base.groupBy(UUID_BIN, UUID_RAW, "entity_name", "kind").agg(*sha_min_agg())
+    container_id = uuid_widen(F.col(UUID_BIN), F.col(UUID_RAW))
     exists_in = (
-        pre.groupBy("container_id", "kind")
+        pre.groupBy(UUID_BIN, UUID_RAW, "kind")
         .agg(*sha_min_agg())
         .select(
-            F.col("container_id").alias("source_node_id"),
+            container_id.alias("source_node_id"),
             id_for_col("EntityType", F.col("kind")).alias("target_node_id"),
             F.lit("exists_in").alias("relationship_name"),
             F.lit(0.5).alias("feedback_weight"),
-            F.concat(F.col("kind"), F.lit(" exists in "), F.col("container_id"), F.lit("."))
+            F.concat(F.col("kind"), F.lit(" exists in "), container_id, F.lit("."))
             .alias("edge_text"),
             F.lit("structural").alias("edge_kind"),
             sha_min(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
         )
     )
     mentioned_in = (
-        pre.groupBy("container_id", "entity_name")
+        pre.groupBy(UUID_BIN, UUID_RAW, "entity_name")
         .agg(*sha_min_agg())
         .select(
-            F.col("container_id").alias("source_node_id"),
+            container_id.alias("source_node_id"),
             id_for_col("Entity", F.col("entity_name")).alias("target_node_id"),
             F.lit("mentioned_in").alias("relationship_name"),
             F.lit(0.5).alias("feedback_weight"),
             F.concat(
-                F.col("entity_name"), F.lit(" mentioned in "), F.col("container_id"), F.lit(".")
+                F.col("entity_name"), F.lit(" mentioned in "), container_id, F.lit(".")
             ).alias("edge_text"),
             F.lit("structural").alias("edge_kind"),
             sha_min(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
@@ -229,22 +242,28 @@ def build_contains_edges(mentions: DataFrame) -> DataFrame:
 
     Dedup happens on the narrow natural key BEFORE id derivation — the uuid5
     sha1 chain runs once per surviving edge, not once per mention row — and
-    the sha crosses the dedup exchange in narrowed binary form."""
+    both the sha and the container id cross the dedup exchange in narrowed
+    binary form (chunk-id containers as 16-byte digests; repo:path
+    containers ride the overflow string)."""
     src = F.coalesce(F.col("chunk_id"), F.concat_ws(":", "repo", "path"))
     sha_bin, sha_raw = sha_narrow(F.col("content_sha"))
-    return sha_distinct(
+    cid_bin, cid_raw = uuid_narrow(src)
+    return (
         mentions.select(
-            src.alias("container_id"),
+            cid_bin.alias(UUID_BIN),
+            cid_raw.alias(UUID_RAW),
             F.col("canonical_name").alias("entity_name"),
             sha_bin.alias(SHA_BIN),
             sha_raw.alias(SHA_RAW),
         )
-    ).select(
-        "container_id",
-        id_for_col("Entity", F.col("entity_name")).alias("entity_id"),
-        "entity_name",
-        F.lit("contains").alias("relationship_name"),
-        "content_sha",
+        .distinct()
+        .select(
+            uuid_widen(F.col(UUID_BIN), F.col(UUID_RAW)).alias("container_id"),
+            id_for_col("Entity", F.col("entity_name")).alias("entity_id"),
+            "entity_name",
+            F.lit("contains").alias("relationship_name"),
+            sha_widen(F.col(SHA_BIN), F.col(SHA_RAW)).alias("content_sha"),
+        )
     )
 
 

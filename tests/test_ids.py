@@ -89,3 +89,39 @@ def test_uuid5_col_is_codegen_friendly(spark):
     df = spark.range(10).select(uuid5_col(F.col("id").cast("string")).alias("u"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_uuid_narrow_widen_round_trip(spark):
+    """narrow→widen is the IDENTITY for every input — canonical uuids convert
+    to 16-byte binary, everything else (paths, uppercase, dash-misplaced or
+    truncated strings) rides the overflow column untouched; exactly one of
+    the pair is non-null; distinct over the pair equals distinct over the
+    originals."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from cognee_spark.functions.uuids import UUID_BIN, UUID_RAW, uuid_narrow, uuid_widen
+
+    vals = [
+        str(_uuid.uuid5(_uuid.NAMESPACE_OID, "x")),
+        str(_uuid.uuid4()),
+        str(_uuid.uuid4()).upper(),           # uppercase: overflow, untouched
+        "repo0:src/pkg/mod.py",               # repo:path container id
+        "0" * 36,                             # 36 chars, no dashes
+        "00000000-0000-0000-0000-00000000000",   # 35 chars
+        "g0000000-0000-0000-0000-000000000000",  # non-hex char
+        "00000000-00000000-0000-0000-00000000",  # dash misplaced, 36 chars
+        "",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    b, r = uuid_narrow(F.col("v"))
+    out = df.select(
+        "v", b.alias(UUID_BIN), r.alias(UUID_RAW),
+    ).withColumn("back", uuid_widen(F.col(UUID_BIN), F.col(UUID_RAW)))
+    rows = out.collect()
+    for row in rows:
+        assert row.back == row.v, (row.v, row.back)
+        assert (row._uuid_bin is None) != (row._uuid_raw is None), row.v
+    converted = [row.v for row in rows if row._uuid_bin is not None]
+    assert converted == vals[:2], converted

@@ -164,6 +164,9 @@ def test_sha_rides_exchanges_narrowed(spark):
         assert lines, plan
         for ln in lines:
             assert "content_sha" not in ln, ln
+            # chunk-id container keys cross as 16-byte _uuid_bin, never as
+            # the 36-char uuid string (functions/uuids.py)
+            assert "container_id" not in ln, ln
         assert "min(content_sha" not in plan, plan
         if expects_min:
             assert "min(_sha_bin" in plan and "min(_sha_raw" in plan, plan
@@ -188,7 +191,7 @@ def test_structural_edges_share_one_wide_exchange(spark):
         ln
         for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln
-        and "container_id" in ln
+        and "_uuid_bin" in ln
         and "entity_name" in ln
         and "kind" in ln
     ]
