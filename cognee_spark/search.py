@@ -147,6 +147,7 @@ def search(
     top_k: int = 5,
     llm=None,
     distances_of=None,
+    fragment_m: int = 256,
     **kwargs,
 ):
     """Route ``query`` through the retriever for ``search_type``.
@@ -154,15 +155,46 @@ def search(
     DataFrame-shaped results (rank lists) come back as DataFrames; completion
     flows return their operator's prompt string / dict. ``llm`` is the one
     generation seam shared by every handler that has one; ``distances_of``
-    overrides the query-embedding seam (defaults to hash_node_distances).
+    overrides the query-embedding seam.
+
+    Default node distances for the graph-completion family: when the tables
+    dict carries a committed ``Entity_name`` index, the memory fragment is
+    bounded FIRST — the ``fragment_m`` nearest entities by the index (the
+    reference's get_memory_fragment, brute_force_triplet_search.py:50-117 —
+    it never scores all nodes) — and only triples inside that fragment are
+    scored. Distance values for fragment members are identical to the
+    unbounded path (same encoder, same arithmetic), so with ``fragment_m``
+    >= the entity count the two paths return the same ranking. Without an
+    index, the bootstrap fallback scores every distinct endpoint name
+    (hash_node_distances).
     """
     st = search_type.upper()
     if st == "FEELING_LUCKY":
         st = select_search_type(query, llm=llm)
-    dist = distances_of or (lambda q: hash_node_distances(
-        tables["triples"].select(F.col("subj").alias("name"))
-        .union(tables["triples"].select(F.col("obj").alias("name"))).distinct(), q
-    ))
+
+    def _default_dist(q):
+        idx = _index_slice(tables, "Entity_name")
+        if idx is not None:
+            from cognee_spark.functions.embeddings import hash_embedding_py
+            from cognee_spark.operators.similarity_search import brute_force_topk
+
+            queries = spark.createDataFrame(
+                [("q0", hash_embedding_py(q))], ["query_id", "query_vec"]
+            )
+            top = brute_force_topk(
+                idx, queries, k=fragment_m, id_col="item_id", vec_col="embedding"
+            )
+            names = idx.select(F.col("item_id").alias("vec_id"), "text")
+            return top.join(names, "vec_id").select(
+                F.col("text").alias("name"),
+                (1.0 - F.col("cosine")).alias("distance"),
+            )
+        return hash_node_distances(
+            tables["triples"].select(F.col("subj").alias("name"))
+            .union(tables["triples"].select(F.col("obj").alias("name"))).distinct(), q
+        )
+
+    dist = distances_of or _default_dist
 
     # the committed vector index / IVF cell index, when the caller's tables
     # carry one — the dispatch probes it instead of re-embedding the corpus

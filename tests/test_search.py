@@ -224,3 +224,36 @@ def test_hybrid_dispatch_blends_truth_factor_when_present(spark, tables):
         top_k=2, truth_slots=slots, truth_epoch=99,
     )
     assert {r.chunk_id: r.final_score for r in stale.collect()} == base_rows
+
+
+def test_graph_completion_fragment_seeded_from_index(spark, tables):
+    """With a committed Entity_name index, the default node distances come
+    from the index's top-m fragment (the reference's get_memory_fragment:
+    bound BEFORE scoring), never from a corpus-wide distance table. With
+    fragment_m covering every entity the ranking equals the index-less path;
+    with a tight fragment_m only in-fragment triples are scored."""
+    from cognee_spark.functions.embeddings import hash_embedding_col
+
+    names = (
+        tables["triples"].select(F.col("subj").alias("name"))
+        .union(tables["triples"].select(F.col("obj").alias("name"))).distinct()
+    )
+    index = names.select(
+        F.lit("Entity_name").alias("collection"),
+        F.col("name").alias("item_id"),
+        F.col("name").alias("text"),
+        hash_embedding_col(F.col("name")).alias("embedding"),
+    )
+    without_idx = search(spark, tables, "GRAPH_COMPLETION", "what uses quokka?", top_k=2)
+    with_idx = search(
+        spark, dict(tables, embeddings=index), "GRAPH_COMPLETION",
+        "what uses quokka?", top_k=2, fragment_m=100,
+    )
+    assert with_idx == without_idx  # full fragment → identical prompt
+
+    tight = search(
+        spark, dict(tables, embeddings=index), "GRAPH_COMPLETION",
+        "what uses quokka?", top_k=2, fragment_m=1,
+    )
+    # a 1-entity fragment cannot cover both endpoints of any triple
+    assert "--[" not in tight
