@@ -308,6 +308,14 @@ def persist_skill_runs(
         )
     else:
         ok = ok.withColumn("_node_set", F.lit(node_set_name))
+    # the resolution join feeds SEVEN union branches below (five node
+    # families + two edge projections); without a materialization each
+    # branch re-executes the scan→parse→join subtree and codegen compiles
+    # seven near-identical stages. One eager localCheckpoint computes it
+    # once; every branch then reads the cached blocks. The checkpointed
+    # frame is run-count-sized (one row per resolved entry), not
+    # corpus-sized.
+    ok = ok.localCheckpoint(eager=True)
     node_set_id = id_for_col("NodeSet", F.col("_node_set"))
     run_nodes = ok.select(
         F.col("skill_run_id").alias("node_id"),
