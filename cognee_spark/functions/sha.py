@@ -11,18 +11,14 @@ across those exchanges removes ~25-30% of their shuffle bytes on a
 memory-bandwidth-bound cluster.
 
 The narrowing is *guarded* so it is bit-exact for arbitrary inputs, not just
-contract shas: a value is converted only when it is exactly 64 chars AND
-parses as hex; everything else (test fixtures like ``"sha1"``, NULLs, odd
-strings) rides an overflow string column untouched. The one documented
-deviation: 64-char hex containing UPPERCASE digits (impossible from
-``sha2``, which emits lowercase) is canonicalized to lowercase — and
-because the canonicalization happens BEFORE any dedup/min that rides the
-narrow pair, such inputs behave as their lowercase twins throughout: a
-``distinct`` collapses an upper/lower case-variant pair to one row, and a
-group min compares the lowercased form (e.g. min over {uppercase-hex
-"BB…B", "aZZZ"} picks "aZZZ", where raw strings would order "BB…B" first).
-Callers needing byte-exact handling of uppercase 64-char hex must not use
-this module; no engine path produces such values.
+contract shas: a value is converted only when it is exactly 64 chars of
+LOWERCASE hex (``sha2``'s output alphabet); everything else — test fixtures
+like ``"sha1"``, NULLs, odd strings, and uppercase hex variants — rides an
+overflow string column untouched, so narrow→widen is the identity for ALL
+inputs and distinct/min over the pair equals distinct/min over the original
+strings (round 6 shipped uppercase-canonicalization as a documented
+deviation; the lowercase gate closes it at the cost of one string compare
+per row).
 
 Order/equality facts the call sites rely on (pinned by tests/test_sha.py):
 - fixed-length binary compares byte-lexicographically in Spark, and lowercase
@@ -45,12 +41,13 @@ SHA_RAW = "_sha_raw"
 def sha_narrow(col: Column) -> tuple[Column, Column]:
     """Split a sha column into (binary, overflow-string) columns.
 
-    ``binary`` is the 32-byte digest when the value is a 64-char hex string
-    (``F.unhex`` yields NULL on any non-hex char, which the guard relies on);
-    ``overflow`` carries the original string for every unconverted value.
-    Exactly one of the two is non-null per non-null input.
+    ``binary`` is the 32-byte digest when the value is a 64-char LOWERCASE
+    hex string (``F.unhex`` yields NULL on any non-hex char, which the guard
+    relies on; the lowercase gate keeps uppercase variants byte-exact on the
+    overflow path); ``overflow`` carries the original string for every
+    unconverted value. Exactly one of the two is non-null per non-null input.
     """
-    bin_col = F.when(F.length(col) == 64, F.unhex(col))
+    bin_col = F.when((F.length(col) == 64) & (col == F.lower(col)), F.unhex(col))
     raw_col = F.when(bin_col.isNull(), col)
     return bin_col, raw_col
 

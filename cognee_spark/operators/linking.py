@@ -113,6 +113,14 @@ def resolve_code_edges(
     spreads over S partitions at the cost of an S-fold dictionary shuffle
     (dictionaries are the small side, so this is cheap relative to the
     straggler). Semantics are identical; tests pin equality.
+
+    Output schema contract: alongside the public columns (repo, src, rel,
+    dst, content_sha, ...) the frame carries the INTERNAL narrowed-sha pair
+    ``_sha_bin``/``_sha_raw`` (functions/sha.py) so code_triples can consume
+    the digest without a hex round trip; consumers persisting or
+    ``select('*')``-ing this frame should drop the pair, and input frames
+    must not already carry columns of those reserved names (they would be
+    overwritten).
     """
     code_m = mentions.where(F.col("mode") == "code")
     # the provenance sha rides the probe side of every resolution join as a

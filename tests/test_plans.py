@@ -163,6 +163,13 @@ def test_sha_rides_exchanges_narrowed(spark):
         ]
         assert lines, plan
         for ln in lines:
+            # NOTE (r6 ADVICE): Exchange.toString prints only PARTITIONING
+            # KEYS, so these per-line assertions pin the wide hex/uuid
+            # strings out of the exchange KEYS; passenger columns riding an
+            # exchange would never appear in these lines either way — the
+            # binding pins for the aggregate-based operators are the
+            # min(_sha_bin)/min(_sha_raw) and no-min(content_sha checks
+            # below, which cover what actually crosses those exchanges.
             assert "content_sha" not in ln, ln
             # chunk-id container keys cross as 16-byte _uuid_bin, never as
             # the 36-char uuid string (functions/uuids.py)

@@ -63,11 +63,14 @@ def test_contract_shas_actually_narrow(spark):
     assert rows["sha1"][SHA_BIN] is None  # overflow string path
 
 
-def test_uppercase_hex_canonicalizes_lowercase(spark):
-    # impossible from sha2 (always lowercase); documented deviation
+def test_uppercase_hex_rides_overflow_byte_exact(spark):
+    # impossible from sha2 (always lowercase); the lowercase gate keeps it
+    # on the overflow path so the round trip is the identity (r6 ADVICE —
+    # previously canonicalized to lowercase as a documented deviation)
     up = _real("a").upper()
     (row,) = _roundtrip(spark, [up])
-    assert row.back == up.lower()
+    assert row.back == up
+    assert row[SHA_BIN] is None and row[SHA_RAW] == up
 
 
 def test_min_agg_matches_python_min_across_classes(spark):
